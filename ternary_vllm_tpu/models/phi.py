@@ -1,0 +1,441 @@
+"""Phi-1.5 (Moondream2 text decoder) in functional JAX — pytree params, jit-safe.
+
+Capability parity with the reference's Keras re-implementation
+(reference ``impl/tf/moondream/model.py:18-105``, ``layers.py:18-411``):
+parallel attention+MLP residual blocks with a single shared LayerNorm,
+fused Wqkv, partial rotary embeddings (factor 0.5), GQA-capable KV handling,
+gelu_new MLP, LN+Dense LM head, and the functional cache-threading signature
+``(logits, next_cache) = step(embeds, cache)`` (``model.py:63-105``) — which is
+already the JAX-idiomatic shape.
+
+TPU-first deviations from the reference:
+* The KV cache is a **fixed-capacity** preallocated buffer updated with
+  ``lax.dynamic_update_slice`` at the current position — never concatenated.
+  The reference grows its cache every token and re-allocates interpreter
+  tensors per step (``test_tflite.py:171-173``), which forces recompilation /
+  realloc; fixed shapes keep one compiled program for the whole decode.
+* Quantized Linears are pluggable per layer via :class:`LinearSpec`:
+  ``dense`` (bf16 matmul), ``qat`` (latent weights through an STE quantizer —
+  training path), or ``packed`` (uint8 planar-packed weights through the
+  Pallas unpack-matmul kernel — inference path).
+* Everything is a pure function of (params, inputs); params are pytrees so
+  ``jax.jit`` / ``grad`` / ``shard_map`` compose for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ternary_vllm_tpu.ops.quantizers import QUANTIZERS
+from ternary_vllm_tpu.ops.ternary_matmul import _ACTS, quantized_matmul
+
+
+@dataclasses.dataclass(frozen=True)
+class PhiConfig:
+    """Decoder config (defaults = Moondream2 Phi, reference ``layers.py:382-411``)."""
+
+    vocab_size: int = 51200
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    partial_rotary_factor: float = 0.5
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-5
+    max_position_embeddings: int = 2048
+    hidden_act: str = "gelu_new"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.partial_rotary_factor * self.head_dim)
+
+
+MOONDREAM_PHI_CONFIG = PhiConfig()
+
+#: small config for tests / CI (structure-identical, CPU-fast)
+TINY_PHI_CONFIG = PhiConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    max_position_embeddings=128,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSpec:
+    """Static description of one Linear's implementation."""
+
+    kind: str = "dense"  # dense | qat | packed
+    mode: str = "ternary"  # ternary | binary | binary01 | smoothBinary (qat/packed)
+    clip_val: Optional[float] = 100.0
+    impl: str = "auto"  # kernel dispatch for packed
+
+    def __post_init__(self):
+        if self.kind not in ("dense", "qat", "packed"):
+            raise ValueError(f"bad LinearSpec.kind {self.kind}")
+
+
+DENSE = LinearSpec()
+
+#: names of the quantizable linears inside one decoder layer
+QUANT_LINEARS = ("wqkv", "out_proj", "fc1", "fc2")
+
+
+def freeze_specs(specs):
+    """tuple-of-dicts → hashable tuple-of-tuples (for use as a jit static arg)."""
+    if isinstance(specs, tuple) and specs and isinstance(specs[0], tuple):
+        return specs
+    return tuple(tuple(sorted(d.items())) for d in specs)
+
+
+def _spec_dicts(specs):
+    if isinstance(specs, tuple) and specs and isinstance(specs[0], tuple):
+        return tuple(dict(t) for t in specs)
+    return specs
+
+
+def layer_specs(
+    config: PhiConfig,
+    default: LinearSpec = DENSE,
+    quant: Optional[LinearSpec] = None,
+    start_skip: int = 0,
+    last_skip: int = 0,
+) -> Tuple[Dict[str, LinearSpec], ...]:
+    """Per-layer spec table; quantize all but the first ``start_skip`` / last
+    ``last_skip`` blocks (reference ``binary/utils.py:14-20``)."""
+    out = []
+    n = config.num_hidden_layers
+    for i in range(n):
+        if quant is not None and start_skip <= i < n - last_skip:
+            out.append({name: quant for name in QUANT_LINEARS})
+        else:
+            out.append({name: default for name in QUANT_LINEARS})
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Param init
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, k, n, dtype, std=0.02):
+    wk, _ = jax.random.split(key)
+    return {
+        "w": (jax.random.normal(wk, (k, n)) * std).astype(dtype),
+        "b": jnp.zeros((n,), dtype),
+    }
+
+
+def _init_ln(n, dtype):
+    return {"scale": jnp.ones((n,), dtype), "bias": jnp.zeros((n,), dtype)}
+
+
+def init_phi_params(key, config: PhiConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    d, f, v = config.hidden_size, config.intermediate_size, config.vocab_size
+    keys = jax.random.split(key, config.num_hidden_layers + 2)
+    layers = []
+    for i in range(config.num_hidden_layers):
+        k1, k2, k3, k4 = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": _init_ln(d, dtype),
+                "wqkv": _init_linear(k1, d, 3 * d, dtype),
+                "out_proj": _init_linear(k2, d, d, dtype),
+                "fc1": _init_linear(k3, d, f, dtype),
+                "fc2": _init_linear(k4, f, d, dtype),
+            }
+        )
+    return {
+        "wte": (jax.random.normal(keys[-2], (v, d)) * 0.02).astype(dtype),
+        "layers": layers,
+        "lm_head": {
+            "ln": _init_ln(d, dtype),
+            "linear": _init_linear(keys[-1], d, v, dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# KV cache — fixed capacity, functional
+# ---------------------------------------------------------------------------
+
+
+def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Preallocated KV cache: list of per-layer (k, v), each
+    ``(batch, kv_heads, max_len, head_dim)``.  Position threading is explicit
+    (the ``pos`` argument of :func:`forward`); the reference's growing
+    concat-cache (``layers.py:267-268``) is the anti-pattern this replaces."""
+    shape = (batch, config.num_key_value_heads, max_len, config.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(config.num_hidden_layers)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def apply_linear(spec: LinearSpec, p: Dict[str, Any], x, act: Optional[str] = None):
+    """One Linear under its spec.  Contract (all kinds):
+    ``y = act(clip((x @ W) * scale + bias, ±clip))`` with scale/clip only for
+    quantized kinds (reference ``binary/modules.py:93-110``,
+    ``impl/tf/moondream/ternary.py:210-250``)."""
+    if spec.kind == "dense":
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+        y = y + p["b"]
+        return _ACTS[act](y).astype(x.dtype)
+    if spec.kind == "qat":
+        if spec.mode == "smoothBinary":
+            # train: clipped latent weights; eval uses hard sign via packed kind
+            w = jnp.clip(p["latent"], -1.0, 1.0).astype(x.dtype)
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
+        else:
+            w = QUANTIZERS[spec.mode](p["latent"]).astype(x.dtype)
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            y = y * p["scale"] + p["b"]
+        if spec.clip_val is not None:
+            y = jnp.clip(y, -abs(spec.clip_val), abs(spec.clip_val))
+        return _ACTS[act](y).astype(x.dtype)
+    # packed
+    mode = "binary" if spec.mode == "smoothBinary" else spec.mode
+    return quantized_matmul(
+        x,
+        p["packed"],
+        mode=mode,
+        scale=p.get("scale"),
+        bias=p.get("b"),
+        clip_val=spec.clip_val,
+        act=act,
+        impl=spec.impl,
+    )
+
+
+def _layer_norm(p, x, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope_cos_sin(positions, rotary_dim, theta, dtype):
+    """cos/sin for absolute ``positions`` (any shape), partial-RoPE dim.
+
+    Matches reference ``layers.py:81-113``: inv_freq over even indices, angles
+    duplicated (concat(freqs, freqs)) to cover the rotary_dim."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., rd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (..., rd)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rotary(q, k, cos, sin, rotary_dim):
+    """Partial RoPE on the first ``rotary_dim`` of head_dim
+    (reference ``layers.py:53-80,244-259``). q/k: (B, H, T, hd);
+    cos/sin: (T, rd) or (B, T, rd)."""
+    if cos.ndim == 2:
+        cs = cos[None, None, :, :]
+        sn = sin[None, None, :, :]
+    else:
+        cs = cos[:, None, :, :]
+        sn = sin[:, None, :, :]
+
+    def rot(x):
+        xr, xp = x[..., :rotary_dim], x[..., rotary_dim:]
+        xr = xr * cs + _rotate_half(xr) * sn
+        return jnp.concatenate([xr, xp], axis=-1)
+
+    return rot(q), rot(k)
+
+
+def _repeat_kv(x, n_rep):
+    if n_rep == 1:
+        return x
+    b, h, t, d = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, h, n_rep, t, d)).reshape(b, h * n_rep, t, d)
+
+
+def _attention(q, k, v, mask):
+    """Softmax attention; q (B,H,T,hd), k/v (B,H,S,hd), mask additive (B,1,T,S)
+    or (1,1,T,S).  f32 softmax for stability (reference ``layers.py:130-141``)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _decoder_layer(
+    p,
+    spec: Dict[str, LinearSpec],
+    config: PhiConfig,
+    x,
+    cos,
+    sin,
+    mask,
+    kv: Optional[Tuple],
+    pos,
+):
+    """Parallel attn+MLP block: ``out = attn(ln(x)) + mlp(ln(x)) + x``
+    (reference ``layers.py:332-348``). Returns (out, new_kv)."""
+    b, t, d = x.shape
+    h, hd = config.num_attention_heads, config.head_dim
+    kvh = config.num_key_value_heads
+
+    hidden = _layer_norm(p["ln"], x, config.layer_norm_eps)
+
+    qkv = apply_linear(spec["wqkv"], p["wqkv"], hidden)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+
+    q, k = apply_rotary(q, k, cos, sin, config.rotary_dim)
+
+    if kv is not None:
+        ck, cv = kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
+        new_kv = (ck, cv)
+        k_full, v_full = ck.astype(x.dtype), cv.astype(x.dtype)
+    else:
+        new_kv = None
+        k_full, v_full = k, v
+
+    k_full = _repeat_kv(k_full, h // kvh)
+    v_full = _repeat_kv(v_full, h // kvh)
+
+    attn = _attention(q, k_full, v_full, mask)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
+    attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
+
+    mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
+    mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
+
+    return attn + mlp + x, new_kv
+
+
+def _causal_mask_cached(t, cache_len, pos, dtype):
+    """Additive mask (1,1,T,cache_len): query at pos+i sees kv slots <= pos+i."""
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 1)
+    ok = kv_idx <= (q_idx + pos)
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    return jnp.where(ok, 0.0, neg)[None, None].astype(jnp.float32)
+
+
+def _causal_mask_full(t, attn_mask, dtype):
+    """(B,1,T,T) additive mask: causal ∧ optional padding mask (B, T) of bools
+    (reference ``impl/tf/attention.py:87-105``)."""
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    ok = (kv_idx <= q_idx)[None, None]
+    if attn_mask is not None:
+        ok = jnp.logical_and(ok, attn_mask[:, None, None, :].astype(bool))
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    return jnp.where(ok, 0.0, neg).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Public forward
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params, input_ids):
+    """Token ids → embeddings (reference ``layers.py:352-360``)."""
+    return jnp.take(params["wte"], input_ids, axis=0)
+
+
+def lm_head(params, hidden, config: PhiConfig):
+    """Final LN + vocab projection (reference ``layers.py:363-373``)."""
+    h = _layer_norm(params["lm_head"]["ln"], hidden, config.layer_norm_eps)
+    return apply_linear(DENSE, params["lm_head"]["linear"], h)
+
+
+def forward(
+    params,
+    config: PhiConfig,
+    specs,
+    inputs_embeds,
+    cache=None,
+    pos=0,
+    attn_mask=None,
+    return_hidden: bool = False,
+    remat: bool = False,
+):
+    """Run the decoder stack.
+
+    Args:
+      inputs_embeds: (B, T, D).
+      cache: output of :func:`init_cache` (decode) or ``None`` (training /
+        full-sequence forward).
+      pos: scalar int — number of tokens already in the cache.
+      attn_mask: optional (B, T) bool padding mask (cache=None path only).
+
+    Returns ``(logits (B,T,V), new_cache)`` — the reference signature
+    ``PhiModel.call`` (``model.py:63-105``), with fixed-shape cache.
+    """
+    specs = _spec_dicts(specs)
+    b, t, _ = inputs_embeds.shape
+    x = inputs_embeds
+
+    if cache is not None:
+        cache_len = cache[0][0].shape[2]
+        positions = pos + jnp.arange(t)
+        mask = _causal_mask_cached(t, cache_len, pos, x.dtype)
+    else:
+        positions = jnp.arange(t)
+        mask = _causal_mask_full(t, attn_mask, x.dtype)
+
+    cos, sin = _rope_cos_sin(positions, config.rotary_dim, config.rope_theta, jnp.float32)
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+
+    new_cache = [] if cache is not None else None
+    for i, (layer_p, layer_s) in enumerate(zip(params["layers"], specs)):
+        kv = cache[i] if cache is not None else None
+        if remat and cache is None:
+            # gradient checkpointing (the analogue of the reference's
+            # gradient_checkpointing_enable, train.py:220)
+            layer_fn = jax.checkpoint(
+                lambda p, xx, kv_=kv, s_=layer_s: _decoder_layer(
+                    p, s_, config, xx, cos, sin, mask, kv_, pos
+                )
+            )
+            x, new_kv = layer_fn(layer_p, x)
+        else:
+            x, new_kv = _decoder_layer(layer_p, layer_s, config, x, cos, sin, mask, kv, pos)
+        if cache is not None:
+            new_cache.append(new_kv)
+
+    if return_hidden:
+        return x, new_cache
+    logits = lm_head(params, x, config)
+    return logits, new_cache
+
+
+def forward_tokens(params, config, specs, input_ids, cache=None, pos=0, attn_mask=None):
+    """Convenience: ids → logits (embeds + forward)."""
+    return forward(
+        params, config, specs, embed_tokens(params, input_ids), cache, pos, attn_mask
+    )

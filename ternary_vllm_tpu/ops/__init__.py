@@ -1,0 +1,43 @@
+from ternary_vllm_tpu.ops.packing import (
+    pack_ternary,
+    unpack_ternary,
+    pack_binary,
+    unpack_binary,
+    packed_ternary_shape,
+    packed_binary_shape,
+    TERNARY_PLANES,
+    BINARY_PLANES,
+)
+from ternary_vllm_tpu.ops.quantizers import (
+    sign_ste,
+    step_ste,
+    tri_step_ste,
+    sign_ste_sat,
+    step_ste_sat,
+    tri_step_ste_sat,
+)
+from ternary_vllm_tpu.ops.ternary_matmul import (
+    ternary_matmul,
+    binary_matmul,
+    quantized_matmul,
+)
+
+__all__ = [
+    "pack_ternary",
+    "unpack_ternary",
+    "pack_binary",
+    "unpack_binary",
+    "packed_ternary_shape",
+    "packed_binary_shape",
+    "TERNARY_PLANES",
+    "BINARY_PLANES",
+    "sign_ste",
+    "step_ste",
+    "tri_step_ste",
+    "sign_ste_sat",
+    "step_ste_sat",
+    "tri_step_ste_sat",
+    "ternary_matmul",
+    "binary_matmul",
+    "quantized_matmul",
+]

@@ -1,0 +1,153 @@
+"""Bit-packing of ternary / binary weights into uint8, TPU-friendly planar-K layout.
+
+Capability parity with the reference's packing layer (reference:
+``impl/tf/moondream/ternary.py:57-176`` — ``pack_ternary2`` /
+``unpack_ternary_iterative2`` pack 4 ternary params/byte with code = value+1 in a
+planar layout), re-designed for TPU:
+
+* Weights use the **contraction-first** convention ``W: (K, N)`` with ``y = x @ W``
+  (the reference uses torch's ``(out, in)``; transposing at ingestion keeps the
+  TPU kernel's contraction on the sublane axis and the output channel on the
+  128-wide lane axis).
+* **Planar along K in contiguous chunks**: K is padded to a multiple of P
+  (P=4 ternary, P=8 binary), split into P contiguous *planes* of S = Kp/P rows
+  each, and byte ``packed[s, n]`` stores the codes of
+  ``W[j*S + s, n] for j in range(P)`` in bit-field ``j``.  Unpacking plane ``j``
+  is a pure element-wise shift/mask over a ``(S, N)`` uint8 tile — no sublane
+  shuffles — and yields a *contiguous* K-chunk, so the unpack-matmul kernel can
+  do ``acc += x[:, jS:(j+1)S] @ plane_j`` with MXU-shaped operands.
+* Ternary code = value + 1 ∈ {0, 1, 2} (2 bits); K-padding uses code 1 (value 0)
+  which is exactly neutral under matmul.
+* Binary code = 1 bit: ``1`` ⇔ value ``+1`` (or ``1`` for the {0,1} flavor);
+  K-padding rows are only neutral if the activation is zero-padded, which the
+  matmul wrappers guarantee.
+
+All functions are pure jnp and jit-safe; they run on CPU or TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+TERNARY_PLANES = 4  # 2-bit codes, 4 per byte
+BINARY_PLANES = 8  # 1-bit codes, 8 per byte
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def packed_ternary_shape(k: int, n: int) -> tuple[int, int]:
+    """Packed array shape for a logical (k, n) ternary weight."""
+    return (_round_up(k, TERNARY_PLANES) // TERNARY_PLANES, n)
+
+
+def packed_binary_shape(k: int, n: int) -> tuple[int, int]:
+    return (_round_up(k, BINARY_PLANES) // BINARY_PLANES, n)
+
+
+def pack_ternary(w) -> jnp.ndarray:
+    """Pack a ternary {-1,0,+1} weight ``w: (K, N)`` into uint8 ``(ceil(K/4), N)``.
+
+    Values outside {-1,0,+1} are hard-ternarized with thresholds ±0.5 (the
+    reference's ``tri_step`` semantics, reference ``binary/modules.py:21-26``),
+    so calling this on latent float weights is equivalent to quantize-then-pack.
+    """
+    w = jnp.asarray(w)
+    if w.ndim != 2:
+        raise ValueError(f"pack_ternary expects 2D (K, N), got {w.shape}")
+    k, n = w.shape
+    kp = _round_up(k, TERNARY_PLANES)
+    s = kp // TERNARY_PLANES
+    # codes: value + 1 in {0,1,2}; pad with code 1 (= value 0, matmul-neutral)
+    q = (w >= 0.5).astype(jnp.uint8) * 2 + ((w > -0.5) & (w < 0.5)).astype(jnp.uint8)
+    if kp != k:
+        q = jnp.concatenate([q, jnp.ones((kp - k, n), jnp.uint8)], axis=0)
+    planes = q.reshape(TERNARY_PLANES, s, n)
+    packed = jnp.zeros((s, n), jnp.uint8)
+    for j in range(TERNARY_PLANES):
+        packed = packed | (planes[j] << (2 * j))
+    return packed
+
+
+def unpack_ternary(packed, k: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`pack_ternary`: uint8 ``(S, N)`` → ``(k, N)`` in ``dtype``."""
+    packed = jnp.asarray(packed)
+    s, n = packed.shape
+    planes = [
+        (((packed >> (2 * j)) & 0x3).astype(jnp.int8) - 1).astype(dtype)
+        for j in range(TERNARY_PLANES)
+    ]
+    full = jnp.concatenate(planes, axis=0)
+    return full[:k]
+
+
+def pack_binary(w, zero_one: bool = False) -> jnp.ndarray:
+    """Pack a binary weight ``w: (K, N)`` into uint8 ``(ceil(K/8), N)``.
+
+    ``zero_one=False``: values {-1,+1}, bit = (w >= 0)  (sign semantics,
+    reference ``binary/modules.py:5-10``).
+    ``zero_one=True``: values {0,1}, bit = (w >= 0) — the step quantizer
+    (reference ``binary/modules.py:13-18``); the flavor only changes *unpacking*.
+    """
+    del zero_one  # packing is identical for both flavors
+    w = jnp.asarray(w)
+    if w.ndim != 2:
+        raise ValueError(f"pack_binary expects 2D (K, N), got {w.shape}")
+    k, n = w.shape
+    kp = _round_up(k, BINARY_PLANES)
+    s = kp // BINARY_PLANES
+    bits = (w >= 0).astype(jnp.uint8)
+    if kp != k:
+        bits = jnp.concatenate([bits, jnp.zeros((kp - k, n), jnp.uint8)], axis=0)
+    planes = bits.reshape(BINARY_PLANES, s, n)
+    packed = jnp.zeros((s, n), jnp.uint8)
+    for j in range(BINARY_PLANES):
+        packed = packed | (planes[j] << j)
+    return packed
+
+
+def unpack_binary(packed, k: int, zero_one: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`pack_binary`: uint8 ``(S, N)`` → ``(k, N)`` in ``dtype``."""
+    packed = jnp.asarray(packed)
+    planes = []
+    for j in range(BINARY_PLANES):
+        bit = ((packed >> j) & 0x1).astype(jnp.int8)
+        val = bit if zero_one else bit * 2 - 1
+        planes.append(val.astype(dtype))
+    full = jnp.concatenate(planes, axis=0)
+    return full[:k]
+
+
+# ---------------------------------------------------------------------------
+# numpy variants for offline/host-side conversion (no device round-trip).
+# ---------------------------------------------------------------------------
+
+
+def pack_ternary_np(w: np.ndarray) -> np.ndarray:
+    k, n = w.shape
+    kp = _round_up(k, TERNARY_PLANES)
+    s = kp // TERNARY_PLANES
+    q = (w >= 0.5).astype(np.uint8) * 2 + ((w > -0.5) & (w < 0.5)).astype(np.uint8)
+    if kp != k:
+        q = np.concatenate([q, np.ones((kp - k, n), np.uint8)], axis=0)
+    planes = q.reshape(TERNARY_PLANES, s, n)
+    packed = np.zeros((s, n), np.uint8)
+    for j in range(TERNARY_PLANES):
+        packed |= planes[j] << (2 * j)
+    return packed
+
+
+def pack_binary_np(w: np.ndarray) -> np.ndarray:
+    k, n = w.shape
+    kp = _round_up(k, BINARY_PLANES)
+    s = kp // BINARY_PLANES
+    bits = (w >= 0).astype(np.uint8)
+    if kp != k:
+        bits = np.concatenate([bits, np.zeros((kp - k, n), np.uint8)], axis=0)
+    planes = bits.reshape(BINARY_PLANES, s, n)
+    packed = np.zeros((s, n), np.uint8)
+    for j in range(BINARY_PLANES):
+        packed |= planes[j] << j
+    return packed

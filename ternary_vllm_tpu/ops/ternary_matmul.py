@@ -1,0 +1,295 @@
+"""Packed ternary / binary matmul: Pallas TPU kernel + XLA fallback.
+
+This is the TPU-native replacement for the reference's fused native op
+``larq_compute_engine.ops.ternary_matmul(x, packed_w, scale, bias, clip)``
+(reference ``impl/tf/moondream/ternary.py:281``, C++ sources out-of-tree) and
+its pure-TF strided variant ``ScaledTernaryPackedMM``
+(``impl/tf/moondream/ternary.py:485-538``).
+
+Design (TPU-first, not a translation):
+
+* Packed weights live in HBM as uint8 ``(S, N)`` with the planar-K layout of
+  :mod:`ternary_vllm_tpu.ops.packing` (plane ``j`` = contiguous K-chunk
+  ``[j*S, (j+1)*S)``).  The 4x (ternary) / 8x (binary) HBM-byte reduction vs
+  bf16 is the performance story: decode is weight-streaming-bound, so fewer
+  bytes = more tokens/sec.
+* The kernel streams a ``(BS, BN)`` packed tile into VMEM, unpacks each 2-bit
+  (1-bit) plane with shift/mask on the VPU, and feeds the MXU with
+  ``acc += x[:, j*S + kt*BS : ...] @ plane_j`` — "multiply-free" is a CPU
+  virtue; on TPU the right move is unpack-to-narrow-float-then-MXU.
+* f32 accumulation in VMEM scratch across the K grid dimension; fused epilogue
+  ``y = act(clip(acc * scale + bias, ±clip_val))`` (matching the reference's
+  ScaledTernary* layer contract, ``impl/tf/moondream/ternary.py:210-250``).
+* The packed buffer is a kernel *argument*, never a traced constant — XLA can
+  neither constant-fold it to f32 nor differentiate through it, which is the
+  TPU-native answer to the reference's ``prevent_folding`` war
+  (``impl/tf/moondream/ternary.py:219-231``).
+
+Alignment requirements for the Pallas path (otherwise we fall back to a pure
+XLA unpack+matmul, which is still correct and fast under fusion):
+  * N  % 128 == 0  (lane axis)
+  * S  % 128 == 0  (so per-plane K offsets are lane-aligned for x slicing)
+Use ``pack_ternary(w)`` on K padded to a multiple of 512 (ternary) / 1024
+(binary) to satisfy S alignment; ternary K-padding (code 1 = value 0) is
+matmul-neutral and x is zero-padded here for the binary case.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ternary_vllm_tpu.ops.packing import (
+    BINARY_PLANES,
+    TERNARY_PLANES,
+    unpack_binary,
+    unpack_ternary,
+)
+
+_ACTS = {
+    None: lambda x: x,
+    "none": lambda x: x,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "silu": jax.nn.silu,
+}
+
+
+def _apply_epilogue(acc, scale, bias, clip_val, act):
+    out = acc * scale + bias
+    if clip_val is not None:
+        out = jnp.clip(out, -abs(clip_val), abs(clip_val))
+    return _ACTS[act](out)
+
+
+def _decode_plane(packed, j, mode):
+    """Unpack bit-plane ``j`` of a packed tile to float32 codes.
+
+    ``packed`` must already be int32: Mosaic has neither uint8→float casts nor
+    int8 vector shifts, so the kernel widens the uint8 tile to int32 once and
+    all bit twiddling happens on i32 lanes."""
+    if packed.dtype != jnp.int32:
+        packed = packed.astype(jnp.int32)
+    if mode == "ternary":
+        return ((packed >> (2 * j)) & 0x3).astype(jnp.float32) - 1.0
+    bit = ((packed >> j) & 0x1).astype(jnp.float32)
+    if mode == "binary":
+        return bit * 2.0 - 1.0
+    if mode == "binary01":
+        return bit
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _num_planes(mode):
+    return TERNARY_PLANES if mode == "ternary" else BINARY_PLANES
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _packed_matmul_kernel(
+    x_ref, p_ref, scale_ref, bias_ref, o_ref, acc_ref, *, s, bs, n_kt, mode, clip_val, act
+):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = p_ref[:].astype(jnp.int32)  # (BS, BN); widen once, shift on i32
+    acc = acc_ref[:]
+    for j in range(_num_planes(mode)):
+        w = _decode_plane(packed, j, mode).astype(x_ref.dtype)
+        xs = x_ref[:, pl.ds(j * s + kt * bs, bs)]
+        acc = acc + jnp.dot(xs, w, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        out = _apply_epilogue(acc_ref[:], scale_ref[:], bias_ref[:], clip_val, act)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _pick_block(dim: int, candidates) -> Optional[int]:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "clip_val", "act", "out_dtype", "bm", "bn", "bs", "interpret"),
+)
+def _packed_matmul_pallas(
+    x, packed, scale, bias, *, mode, clip_val, act, out_dtype, bm, bn, bs, interpret=False
+):
+    m, kp = x.shape
+    s, n = packed.shape
+    n_kt = s // bs
+    grid = (pl.cdiv(m, bm), n // bn, n_kt)
+
+    kernel = functools.partial(
+        _packed_matmul_kernel,
+        s=s,
+        bs=bs,
+        n_kt=n_kt,
+        mode=mode,
+        clip_val=clip_val,
+        act=act,
+    )
+    planes = _num_planes(mode)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * kp,
+        bytes_accessed=s * n + m * kp * x.dtype.itemsize + m * n * jnp.dtype(out_dtype).itemsize,
+        transcendentals=m * n if act in ("gelu_new", "gelu", "silu") else 0,
+    )
+    del planes
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, packed, scale, bias)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (correct everywhere; used on CPU and for unaligned shapes)
+# ---------------------------------------------------------------------------
+
+
+def _packed_matmul_xla(x, packed, scale, bias, *, mode, clip_val, act, out_dtype):
+    m, kp = x.shape
+    s, n = packed.shape
+    if mode == "ternary":
+        w = unpack_ternary(packed, kp, dtype=x.dtype)
+    else:
+        w = unpack_binary(packed, kp, zero_one=(mode == "binary01"), dtype=x.dtype)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out = _apply_epilogue(acc, scale, bias, clip_val, act)
+    return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def quantized_matmul(
+    x,
+    packed,
+    *,
+    mode: str,
+    scale=None,
+    bias=None,
+    clip_val: Optional[float] = 100.0,
+    act: Optional[str] = None,
+    impl: str = "auto",
+):
+    """``y = act(clip((x @ unpack(packed)) * scale + bias, ±clip_val))``.
+
+    Args:
+      x: activations ``(..., K)``, float (bf16/f32).
+      packed: uint8 ``(S, N)`` planar-packed weight (see ``ops.packing``).
+      mode: ``"ternary" | "binary" | "binary01"``.
+      scale: per-output-channel scale ``(N,)`` (default 1).
+      bias: per-output-channel bias ``(N,)`` (default 0).
+      clip_val: symmetric output clip (reference default ``max_val=100.0``,
+        ``binary/modules.py:58``); ``None`` disables.
+      act: fused activation (``"gelu_new"`` for fc1, else ``None``).
+      impl: ``"auto" | "pallas" | "xla"``.
+
+    Returns ``(..., N)`` in ``x.dtype``.
+    """
+    planes = _num_planes(mode)
+    s, n = packed.shape
+    kp = s * planes
+    k = x.shape[-1]
+    if k > kp:
+        raise ValueError(f"x K dim {k} exceeds packed capacity {kp}")
+    lead = x.shape[:-1]
+    m = math.prod(lead) if lead else 1
+    x2 = x.reshape(m, k)
+    if k < kp:
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
+
+    dt = x.dtype
+    scale2 = jnp.ones((1, n), jnp.float32) if scale is None else scale.reshape(1, n).astype(jnp.float32)
+    bias2 = jnp.zeros((1, n), jnp.float32) if bias is None else bias.reshape(1, n).astype(jnp.float32)
+
+    use_pallas = False
+    if impl in ("auto", "pallas"):
+        aligned = (n % 128 == 0) and (s % 128 == 0)
+        use_pallas = aligned and (_on_tpu() or impl == "pallas")
+        if impl == "pallas" and not aligned:
+            raise ValueError(
+                f"pallas packed matmul needs N%128==0 and S%128==0, got N={n}, S={s}"
+            )
+
+    if use_pallas:
+        sub = 16 if dt == jnp.bfloat16 else 8
+        bm = 128 if m >= 128 else ((m + sub - 1) // sub) * sub
+        bn = _pick_block(n, (512, 256, 128))
+        bs = _pick_block(s, (512, 256, 128))
+        out = _packed_matmul_pallas(
+            x2, packed, scale2, bias2,
+            mode=mode, clip_val=clip_val, act=act, out_dtype=dt,
+            bm=bm, bn=bn, bs=bs,
+            interpret=not _on_tpu(),
+        )
+    else:
+        out = _packed_matmul_xla(
+            x2, packed, scale2, bias2, mode=mode, clip_val=clip_val, act=act, out_dtype=dt
+        )
+    return out.reshape(*lead, n)
+
+
+def ternary_matmul(x, packed, scale=None, bias=None, clip_val=100.0, act=None, impl="auto"):
+    """Fused packed-ternary matmul (the reference's ``ops.ternary_matmul``)."""
+    return quantized_matmul(
+        x, packed, mode="ternary", scale=scale, bias=bias, clip_val=clip_val, act=act, impl=impl
+    )
+
+
+def binary_matmul(
+    x, packed, scale=None, bias=None, clip_val=100.0, act=None, zero_one=False, impl="auto"
+):
+    """Fused packed-binary matmul ({-1,+1} or {0,1} weights)."""
+    return quantized_matmul(
+        x,
+        packed,
+        mode="binary01" if zero_one else "binary",
+        scale=scale,
+        bias=bias,
+        clip_val=clip_val,
+        act=act,
+        impl=impl,
+    )

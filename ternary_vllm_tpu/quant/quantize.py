@@ -1,0 +1,179 @@
+"""Model-level quantization passes over Phi param pytrees.
+
+Parity with the reference's ``quantize_moondream`` (reference
+``binary/utils.py:7-77``): walk the decoder, replace the quantizable Linears
+(Wqkv / out_proj / fc1 / fc2) with calibrated quantized params, skip the
+``lm_head`` plus the first ``start_skip`` / last ``last_skip`` decoder blocks,
+optionally remove blocks entirely, and report the parameter/bit-size
+accounting (1 bit binary, 2 bits ternary, 16 bits everything else,
+``binary/utils.py:41-57``).
+
+Here the pass is a pure pytree→pytree function returning (params, specs):
+* ``quantize_decoder_params``: dense → **qat** params (latent + scale) via
+  offline calibration — the training-side representation.
+* ``pack_decoder_params``: qat → **packed** params (uint8 + scale) — the
+  inference-side representation consumed by the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+
+from ternary_vllm_tpu.models.phi import (
+    QUANT_LINEARS,
+    DENSE,
+    LinearSpec,
+    PhiConfig,
+)
+from ternary_vllm_tpu.ops.packing import pack_binary, pack_ternary
+from ternary_vllm_tpu.ops.quantizers import QUANTIZERS
+from ternary_vllm_tpu.quant.calibrate import calibrate_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Mirrors the reference's quantization flags (``train.py:22-46``,
+    ``binary/utils.py:7-27``)."""
+
+    quantization: str = "ternary"  # ternary | binary | binary01 | smoothBinary
+    neuron_scale: Optional[str] = None  # uniform | independent (None = mode default)
+    scaling: Union[str, float, None] = "none"  # none | float | std | natural
+    kmeans_iter: int = 10
+    start_skip: int = 0
+    last_skip: int = 0
+    max_val: float = 100.0
+    remove_blocks: Sequence[int] = ()
+
+
+def _quantize_linear_params(p, qc: QuantConfig):
+    latent, scale = calibrate_linear(
+        p["w"],
+        mode=qc.quantization,
+        neuron_scale=qc.neuron_scale,
+        scaling=qc.scaling,
+        kmeans_iter=qc.kmeans_iter,
+    )
+    return {"latent": latent, "scale": scale, "b": jnp.asarray(p["b"], jnp.float32)}
+
+
+def quantize_decoder_params(params, config: PhiConfig, qc: QuantConfig):
+    """Dense params → (qat params, specs).  Blocks in ``qc.remove_blocks`` are
+    dropped (reference ``binary/utils.py:29-34``); the caller must shrink
+    ``config.num_hidden_layers`` accordingly."""
+    layers = [l for i, l in enumerate(params["layers"]) if i not in set(qc.remove_blocks)]
+    n = len(layers)
+    qat_spec = LinearSpec(kind="qat", mode=qc.quantization, clip_val=qc.max_val)
+    new_layers, specs = [], []
+    for i, layer in enumerate(layers):
+        quantize = qc.start_skip <= i < n - qc.last_skip
+        new_layer = {"ln": layer["ln"]}
+        spec = {}
+        for name in QUANT_LINEARS:
+            if quantize:
+                new_layer[name] = _quantize_linear_params(layer[name], qc)
+                spec[name] = qat_spec
+            else:
+                new_layer[name] = layer[name]
+                spec[name] = DENSE
+        new_layers.append(new_layer)
+        specs.append(spec)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out, tuple(specs)
+
+
+def pack_decoder_params(params, specs, k_multiple: int = 512):
+    """QAT params → (packed params, packed specs) for inference.
+
+    Latent weights are hard-quantized with the spec's STE forward (sign /
+    tri-step — same thresholds as the reference's conversion, which ternarizes
+    with SteTern(0.5) before packing, ``utils/conversion.py:44-93``) and
+    bit-packed with K padded to ``k_multiple`` so S stays lane-aligned for the
+    Pallas kernel."""
+    new_layers, new_specs = [], []
+    for layer, spec in zip(params["layers"], specs):
+        new_layer = {"ln": layer["ln"]}
+        new_spec = {}
+        for name in QUANT_LINEARS:
+            s = spec[name]
+            p = layer[name]
+            if s.kind == "qat":
+                if s.mode == "smoothBinary":
+                    w = jnp.sign(p["latent"])  # eval-time hard sign (modules.py:139-146)
+                    scale = jnp.ones((p["latent"].shape[1],), jnp.float32)
+                else:
+                    w = QUANTIZERS[s.mode](p["latent"])
+                    scale = p["scale"]
+                k = w.shape[0]
+                kp = ((k + k_multiple - 1) // k_multiple) * k_multiple
+                if kp != k:
+                    pad_val = 0.0 if s.mode == "ternary" else -1.0
+                    w = jnp.concatenate(
+                        [w, jnp.full((kp - k, w.shape[1]), pad_val, w.dtype)], axis=0
+                    )
+                if s.mode == "ternary":
+                    packed = pack_ternary(w)
+                else:
+                    packed = pack_binary(w, zero_one=(s.mode == "binary01"))
+                new_layer[name] = {"packed": packed, "scale": scale, "b": p["b"]}
+                new_spec[name] = LinearSpec(
+                    kind="packed", mode=s.mode, clip_val=s.clip_val
+                )
+            else:
+                new_layer[name] = p
+                new_spec[name] = s
+        new_layers.append(new_layer)
+        new_specs.append(new_spec)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out, tuple(new_specs)
+
+
+def size_report(params, specs) -> dict:
+    """Bit-size accounting (reference ``binary/utils.py:41-71``): quantized
+    params at 1 (binary) / 2 (ternary) bits, everything else at 16."""
+    import jax
+
+    bits_q = 0
+    n_q = 0
+    n_other = 0
+    q_paths = set()
+    for li, spec in enumerate(specs):
+        for name, s in spec.items():
+            if s.kind in ("qat", "packed"):
+                q_paths.add((li, name))
+    for li, layer in enumerate(params["layers"]):
+        for name, p in layer.items():
+            if name == "ln":
+                n_other += sum(int(v.size) for v in p.values())
+                continue
+            if (li, name) in q_paths:
+                if "latent" in p:
+                    nw = int(p["latent"].size)
+                else:
+                    spec = specs[li][name]
+                    planes = 4 if spec.mode == "ternary" else 8
+                    nw = int(p["packed"].size) * planes
+                mode = specs[li][name].mode
+                bits = 2 if mode == "ternary" else 1
+                bits_q += nw * bits
+                n_q += nw
+                n_other += sum(
+                    int(v.size) for key, v in p.items() if key not in ("latent", "packed", "w")
+                )
+            else:
+                n_other += sum(int(jnp.asarray(v).size) for v in jax.tree_util.tree_leaves(p))
+    for key in ("wte", "lm_head"):
+        if key in params:
+            n_other += sum(int(v.size) for v in jax.tree_util.tree_leaves(params[key]))
+    total_bits = bits_q + n_other * 16
+    return {
+        "quantized_params": n_q,
+        "other_params": n_other,
+        "quantized_bits": bits_q,
+        "total_gib": total_bits / 8 / 2**30,
+        "fp16_gib": (n_q + n_other) * 2 / 2**30,
+    }
