@@ -87,7 +87,12 @@ def _decode_plane(packed, j, mode):
     raise ValueError(f"unknown mode {mode!r}")
 
 
+_MODES = ("ternary", "binary", "binary01")
+
+
 def _num_planes(mode):
+    if mode not in _MODES:
+        raise ValueError(f"unknown quantization mode {mode!r}; expected one of {_MODES}")
     return TERNARY_PLANES if mode == "ternary" else BINARY_PLANES
 
 
