@@ -1,0 +1,90 @@
+"""Convert CLI — parity with the reference's ``convert.py`` (checkpoint →
+frozen packed inference artifact, reference ``convert.py:31-166``).
+
+    python -m ternary_vllm_tpu.cli.convert --checkpoint model.safetensors \
+        --variant pallas --out artifacts/moondream-q2
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.quant.quantize import (
+    QuantConfig,
+    pack_decoder_params,
+    quantize_decoder_params,
+    size_report,
+)
+from ternary_vllm_tpu.utils.scripting import get_var
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="dense checkpoint -> packed artifact")
+    p.add_argument("--checkpoint", default=None, help=".safetensors dense weights")
+    p.add_argument("--quantization", default="ternary",
+                   choices=["ternary", "binary", "binary01"])
+    # the reference's kernel variants {continuous,tf,matmul,unpack} map to our
+    # dispatch choices (convert.py:33): pallas = fused kernel, xla = unpack+dot
+    p.add_argument("--variant", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--start-skip", type=int, default=0)
+    p.add_argument("--last-skip", type=int, default=0)
+    p.add_argument("--export-signatures", action="store_true")
+    p.add_argument("--out", default="artifacts/phi-q2")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+    for name in vars(args):
+        setattr(args, name, get_var(name, args))
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = phi.TINY_PHI_CONFIG if args.tiny else phi.MOONDREAM_PHI_CONFIG
+    if args.checkpoint:
+        from ternary_vllm_tpu.convert.torch_import import load_safetensors_params
+
+        params = load_safetensors_params(args.checkpoint, config)
+    else:
+        print("no --checkpoint: random init (pipeline validation mode)")
+        params = phi.init_phi_params(jax.random.PRNGKey(0), config)
+
+    qc = QuantConfig(
+        quantization=args.quantization,
+        start_skip=args.start_skip,
+        last_skip=args.last_skip,
+    )
+    qat, qspecs = quantize_decoder_params(params, config, qc)
+    packed, pspecs = pack_decoder_params(qat, qspecs)
+    if args.variant != "auto":
+        pspecs = tuple(
+            {n: (phi.LinearSpec(kind=s.kind, mode=s.mode, clip_val=s.clip_val, impl=args.variant)
+                 if s.kind == "packed" else s)
+             for n, s in layer.items()}
+            for layer in pspecs
+        )
+    print("size:", size_report(packed, pspecs))
+
+    # golden parity gate (the reference prints MSE per block, conversion.py:144;
+    # we assert on full logits)
+    ids = jnp.asarray([[1, 2, 3, 4, 5]])
+    dense_logits, _ = phi.forward_tokens(params, config, phi.layer_specs(config), ids)
+    packed_logits, _ = phi.forward_tokens(packed, config, pspecs, ids)
+    mse = float(jnp.mean((dense_logits - packed_logits) ** 2))
+    print(f"quantized-vs-dense logits MSE: {mse:.6f} (quantization error, not a bug gate)")
+
+    from ternary_vllm_tpu.convert.export import save_checkpoint, export_signatures, save_exported
+
+    save_checkpoint(args.out, packed, config, pspecs)
+    print("saved artifact:", args.out)
+    if args.export_signatures:
+        blobs = export_signatures(packed, config, pspecs)
+        save_exported(args.out + "/signatures", blobs)
+        print("exported AOT signatures:", list(blobs))
+
+
+if __name__ == "__main__":
+    main()

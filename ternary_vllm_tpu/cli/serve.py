@@ -1,0 +1,74 @@
+"""Serve CLI — parity with the reference's ``test_tflite.py`` decode harness
+(load frozen artifact, run autoregressive decode, print tokens/sec,
+reference ``test_tflite.py:131-234``), plus continuous batching.
+
+    python -m ternary_vllm_tpu.cli.serve --artifact artifacts/phi-q2 \
+        --prompt-len 64 --max-new-tokens 128 --requests 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.utils.scripting import get_var
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--requests", type=int, default=1)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--eos-id", type=int, default=-1)
+    args = p.parse_args(argv)
+    for name in vars(args):
+        setattr(args, name, get_var(name, args))
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ternary_vllm_tpu.convert.export import load_checkpoint
+
+    params, config, specs = load_checkpoint(args.artifact)
+    rng = np.random.default_rng(0)
+
+    if args.requests <= 1:
+        from ternary_vllm_tpu.serve.decode import Decoder
+
+        dec = Decoder(params, config, specs, max_len=args.max_len)
+        ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
+        emb = phi.embed_tokens(params, ids)
+        tokens, n, timing = dec.generate(emb, max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
+        tokens, n, timing = dec.generate(emb, max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
+        print("tokens:", np.asarray(tokens)[0][:32].tolist())
+        print(f"prefill {timing['prefill_s']*1e3:.1f}ms; "
+              f"{timing['tokens']} tokens at {timing['tokens_per_s']:.1f} t/s")
+    else:
+        from ternary_vllm_tpu.serve.engine import Engine
+
+        eng = Engine(params, config, specs, max_batch=args.max_batch,
+                     max_len=args.max_len, temperature=args.temperature)
+        for _ in range(args.requests):
+            ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
+            eng.add_request(phi.embed_tokens(params, ids),
+                            max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.tokens) for r in done)
+        print(f"{len(done)} requests, {total} tokens in {dt:.2f}s "
+              f"-> {total/dt:.1f} t/s aggregate")
+
+
+if __name__ == "__main__":
+    main()

@@ -314,8 +314,16 @@ def _decoder_layer(
 
     if kv is not None:
         ck, cv = kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
+        if _is_vector_pos(pos):
+            # per-sequence positions (continuous batching): scatter each row
+            upd = jax.vmap(
+                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p, 0))
+            )
+            ck = upd(ck, k.astype(ck.dtype), pos)
+            cv = upd(cv, v.astype(cv.dtype), pos)
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
         new_kv = (ck, cv)
         k_full, v_full = ck.astype(x.dtype), cv.astype(x.dtype)
     else:
@@ -335,12 +343,22 @@ def _decoder_layer(
     return attn + mlp + x, new_kv
 
 
+def _is_vector_pos(pos) -> bool:
+    return hasattr(pos, "ndim") and pos.ndim == 1
+
+
 def _causal_mask_cached(t, cache_len, pos, dtype):
-    """Additive mask (1,1,T,cache_len): query at pos+i sees kv slots <= pos+i."""
+    """Additive mask: query at pos+i sees kv slots <= pos+i.
+
+    ``pos`` scalar → (1,1,T,cache_len); ``pos`` (B,) vector (continuous
+    batching, per-sequence positions) → (B,1,T,cache_len)."""
     q_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 0)
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cache_len), 1)
-    ok = kv_idx <= (q_idx + pos)
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    if _is_vector_pos(pos):
+        ok = kv_idx[None] <= (q_idx[None] + pos[:, None, None])
+        return jnp.where(ok, 0.0, neg)[:, None].astype(jnp.float32)
+    ok = kv_idx <= (q_idx + pos)
     return jnp.where(ok, 0.0, neg)[None, None].astype(jnp.float32)
 
 
@@ -401,7 +419,10 @@ def forward(
 
     if cache is not None:
         cache_len = cache[0][0].shape[2]
-        positions = pos + jnp.arange(t)
+        if _is_vector_pos(pos):
+            positions = pos[:, None] + jnp.arange(t)[None, :]  # (B, T)
+        else:
+            positions = pos + jnp.arange(t)
         mask = _causal_mask_cached(t, cache_len, pos, x.dtype)
     else:
         positions = jnp.arange(t)

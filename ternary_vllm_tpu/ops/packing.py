@@ -27,6 +27,9 @@ All functions are pure jnp and jit-safe; they run on CPU or TPU.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,16 +50,8 @@ def packed_binary_shape(k: int, n: int) -> tuple[int, int]:
     return (_round_up(k, BINARY_PLANES) // BINARY_PLANES, n)
 
 
-def pack_ternary(w) -> jnp.ndarray:
-    """Pack a ternary {-1,0,+1} weight ``w: (K, N)`` into uint8 ``(ceil(K/4), N)``.
-
-    Values outside {-1,0,+1} are hard-ternarized with thresholds ±0.5 (the
-    reference's ``tri_step`` semantics, reference ``binary/modules.py:21-26``),
-    so calling this on latent float weights is equivalent to quantize-then-pack.
-    """
-    w = jnp.asarray(w)
-    if w.ndim != 2:
-        raise ValueError(f"pack_ternary expects 2D (K, N), got {w.shape}")
+@jax.jit
+def _pack_ternary_impl(w):
     k, n = w.shape
     kp = _round_up(k, TERNARY_PLANES)
     s = kp // TERNARY_PLANES
@@ -71,6 +66,22 @@ def pack_ternary(w) -> jnp.ndarray:
     return packed
 
 
+def pack_ternary(w) -> jnp.ndarray:
+    """Pack a ternary {-1,0,+1} weight ``w: (K, N)`` into uint8 ``(ceil(K/4), N)``.
+
+    Values outside {-1,0,+1} are hard-ternarized with thresholds ±0.5 (the
+    reference's ``tri_step`` semantics, reference ``binary/modules.py:21-26``),
+    so calling this on latent float weights is equivalent to quantize-then-pack.
+    Jitted (one fused program per shape) — keeps host↔device dispatch off the
+    offline-conversion critical path.
+    """
+    w = jnp.asarray(w)
+    if w.ndim != 2:
+        raise ValueError(f"pack_ternary expects 2D (K, N), got {w.shape}")
+    return _pack_ternary_impl(w)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dtype"))
 def unpack_ternary(packed, k: int, dtype=jnp.float32) -> jnp.ndarray:
     """Inverse of :func:`pack_ternary`: uint8 ``(S, N)`` → ``(k, N)`` in ``dtype``."""
     packed = jnp.asarray(packed)
@@ -81,6 +92,21 @@ def unpack_ternary(packed, k: int, dtype=jnp.float32) -> jnp.ndarray:
     ]
     full = jnp.concatenate(planes, axis=0)
     return full[:k]
+
+
+@jax.jit
+def _pack_binary_impl(w):
+    k, n = w.shape
+    kp = _round_up(k, BINARY_PLANES)
+    s = kp // BINARY_PLANES
+    bits = (w >= 0).astype(jnp.uint8)
+    if kp != k:
+        bits = jnp.concatenate([bits, jnp.zeros((kp - k, n), jnp.uint8)], axis=0)
+    planes = bits.reshape(BINARY_PLANES, s, n)
+    packed = jnp.zeros((s, n), jnp.uint8)
+    for j in range(BINARY_PLANES):
+        packed = packed | (planes[j] << j)
+    return packed
 
 
 def pack_binary(w, zero_one: bool = False) -> jnp.ndarray:
@@ -95,19 +121,10 @@ def pack_binary(w, zero_one: bool = False) -> jnp.ndarray:
     w = jnp.asarray(w)
     if w.ndim != 2:
         raise ValueError(f"pack_binary expects 2D (K, N), got {w.shape}")
-    k, n = w.shape
-    kp = _round_up(k, BINARY_PLANES)
-    s = kp // BINARY_PLANES
-    bits = (w >= 0).astype(jnp.uint8)
-    if kp != k:
-        bits = jnp.concatenate([bits, jnp.zeros((kp - k, n), jnp.uint8)], axis=0)
-    planes = bits.reshape(BINARY_PLANES, s, n)
-    packed = jnp.zeros((s, n), jnp.uint8)
-    for j in range(BINARY_PLANES):
-        packed = packed | (planes[j] << j)
-    return packed
+    return _pack_binary_impl(w)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "zero_one", "dtype"))
 def unpack_binary(packed, k: int, zero_one: bool = False, dtype=jnp.float32) -> jnp.ndarray:
     """Inverse of :func:`pack_binary`: uint8 ``(S, N)`` → ``(k, N)`` in ``dtype``."""
     packed = jnp.asarray(packed)

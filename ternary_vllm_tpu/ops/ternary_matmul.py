@@ -104,23 +104,42 @@ def _num_planes(mode):
 def _packed_matmul_kernel(
     x_ref, p_ref, scale_ref, bias_ref, o_ref, acc_ref, *, s, bs, n_kt, mode, clip_val, act
 ):
+    """Unpack cost is the whole ballgame for decode (matvec): the MXU is idle
+    waiting on the VPU, so the kernel matmuls the raw bit-field CODES (3 VPU
+    ops/plane: shift, mask, cast-to-input-dtype) and folds the code→value
+    affine map into the epilogue:
+
+      ternary  w = code − 1:  x@W = Σₚ xₚ@codeₚ − rowsum(x)
+      binary   w = 2·bit − 1: x@W = 2·Σₚ xₚ@bitₚ − rowsum(x)
+      binary01 w = bit:       x@W = Σₚ xₚ@bitₚ
+
+    (plane 0 needs no shift; the top plane needs no mask)."""
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = p_ref[:].astype(jnp.int32)  # (BS, BN); widen once, shift on i32
+    planes = _num_planes(mode)
+    bits = 2 if mode == "ternary" else 1
+    mask = (1 << bits) - 1
+    packed = p_ref[:].astype(jnp.int32)  # widen once; Mosaic has no i8 shifts
     acc = acc_ref[:]
-    for j in range(_num_planes(mode)):
-        w = _decode_plane(packed, j, mode).astype(x_ref.dtype)
+    for j in range(planes):
+        shifted = packed >> (bits * j) if j else packed
+        codes = shifted if j == planes - 1 else shifted & mask
+        w = codes.astype(x_ref.dtype)
         xs = x_ref[:, pl.ds(j * s + kt * bs, bs)]
         acc = acc + jnp.dot(xs, w, preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(kt == n_kt - 1)
     def _():
-        out = _apply_epilogue(acc_ref[:], scale_ref[:], bias_ref[:], clip_val, act)
+        acc = acc_ref[:]
+        if mode != "binary01":
+            rs = jnp.sum(x_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+            acc = (2.0 * acc - rs) if mode == "binary" else (acc - rs)
+        out = _apply_epilogue(acc, scale_ref[:], bias_ref[:], clip_val, act)
         o_ref[:] = out.astype(o_ref.dtype)
 
 

@@ -21,8 +21,10 @@ inference with ``ops.packing``.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,6 +41,7 @@ def _smoothing_factor(w, scaling, channel_scale):
     raise ValueError(f"Unknown scaling method: {scaling}")
 
 
+@functools.partial(jax.jit, static_argnames=("zero_one", "neuron_scale", "scaling"))
 def calibrate_binary(
     w,
     zero_one: bool = False,
@@ -69,6 +72,7 @@ def calibrate_binary(
     return latent, scale
 
 
+@functools.partial(jax.jit, static_argnames=("neuron_scale", "kmeans_iter"))
 def calibrate_ternary(
     w,
     neuron_scale: str = "independent",

@@ -1,0 +1,200 @@
+"""Continuous-batching serving engine: slotted KV cache, mixed prefill/decode.
+
+Net-new capability (the reference serves one request at a time through the
+TFLite interpreter, ``test_tflite.py:152-219``; BASELINE.md config 5 calls for
+continuous batching).  TPU-first design:
+
+* One fixed-shape slotted KV cache ``(max_batch, H, max_len, hd)`` per layer —
+  static shapes, so exactly THREE compiled programs serve every workload:
+  prefill-into-slot (one per prompt bucket), batched decode step, both with
+  per-slot position vectors (``pos: (B,)``) threaded through the model.
+* Decode steps run for ALL active slots every iteration; finished/empty slots
+  are masked (their sampled token is discarded).  New requests prefill into
+  free slots between decode steps — classic iteration-level scheduling.
+* The Python layer only schedules; all tensor work is jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ternary_vllm_tpu.models import phi
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_embeds: Any  # (1, T, D)
+    max_new_tokens: int = 64
+    eos_id: int = -1
+    request_id: int = 0
+    # filled by the engine:
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    slot: int = -1
+    submit_time: float = 0.0
+    finish_time: float = 0.0
+
+
+@partial(jax.jit, static_argnames=("config", "specs", "bucket"))
+def _prefill_one(params, config, specs, embeds, bucket):
+    """Prefill a single prompt (1, bucket, D) with a private cache sized to
+    the bucket; returns (first_token (1,), k/v stacks to splice into slots)."""
+    cache = phi.init_cache(config, 1, bucket, jnp.bfloat16)
+    logits, cache = phi.forward(params, config, specs, embeds, cache, 0)
+    ks = jnp.stack([kv[0] for kv in cache])  # (L, 1, H, bucket, hd)
+    vs = jnp.stack([kv[1] for kv in cache])
+    return logits, ks, vs
+
+
+@partial(jax.jit, donate_argnums=(3,))
+def _install_slot(params, ks, vs, cache, slot):
+    """Write a prefilled (L,1,H,bucket,hd) kv block into ``slot`` of the
+    engine cache."""
+    new_cache = []
+    for i, (ck, cv) in enumerate(cache):
+        ck = jax.lax.dynamic_update_slice(ck, ks[i].astype(ck.dtype), (slot, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vs[i].astype(cv.dtype), (slot, 0, 0, 0))
+        new_cache.append((ck, cv))
+    return new_cache
+
+
+@partial(jax.jit, static_argnames=("config", "specs", "temperature"), donate_argnums=(3,))
+def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, active):
+    """One batched decode step over all slots.
+
+    tokens: (B,) current token per slot; pos: (B,) per-slot lengths;
+    active: (B,) bool.  Inactive slots still compute (masked out after) —
+    static shapes beat dynamic batch sizes on TPU.
+    Returns (next_tokens (B,), cache, new_pos)."""
+    embeds = phi.embed_tokens(params, tokens[:, None])
+    logits, cache = phi.forward(params, config, specs, embeds, cache, pos)
+    from ternary_vllm_tpu.serve.sampling import sample_token
+
+    nxt = sample_token(logits[:, -1], key, temperature=temperature)
+    nxt = jnp.where(active, nxt, tokens)
+    pos = jnp.where(active, pos + 1, pos)
+    return nxt, cache, pos
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        config: phi.PhiConfig,
+        specs,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        temperature: float = 0.0,
+        seed: int = 0,
+        buckets=(32, 64, 128, 256, 512, 1024),
+    ):
+        self.params = params
+        self.config = config
+        self.specs = phi.freeze_specs(specs)
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.temperature = temperature
+        self.buckets = tuple(b for b in buckets if b <= max_len)
+        self.cache = phi.init_cache(config, max_batch, max_len, jnp.bfloat16)
+        self.tokens = jnp.zeros((max_batch,), jnp.int32)
+        self.pos = jnp.zeros((max_batch,), jnp.int32)
+        self.key = jax.random.PRNGKey(seed)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.queue: deque[Request] = deque()
+        self._ids = itertools.count()
+        self.completed: List[Request] = []
+
+    # -- public API ---------------------------------------------------------
+
+    def add_request(self, prompt_embeds, max_new_tokens: int = 64, eos_id: int = -1) -> int:
+        req = Request(
+            prompt_embeds=prompt_embeds,
+            max_new_tokens=max_new_tokens,
+            eos_id=eos_id,
+            request_id=next(self._ids),
+            submit_time=time.perf_counter(),
+        )
+        self.queue.append(req)
+        return req.request_id
+
+    def run(self, max_iters: int = 10_000) -> List[Request]:
+        """Drive until queue and slots drain; returns completed requests."""
+        it = 0
+        while (self.queue or any(s is not None for s in self.slots)) and it < max_iters:
+            self.step()
+            it += 1
+        return self.completed
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _bucket(self, t: int) -> int:
+        for b in self.buckets:
+            if t <= b:
+                return b
+        raise ValueError(f"prompt length {t} exceeds largest bucket {self.buckets[-1]}")
+
+    def _admit(self):
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            t = req.prompt_embeds.shape[1]
+            b = self._bucket(t)
+            emb = req.prompt_embeds
+            if b > t:
+                emb = jnp.pad(emb, ((0, 0), (0, b - t), (0, 0)))
+            logits, ks, vs = _prefill_one(self.params, self.config, self.specs, emb, b)
+            self.cache = _install_slot(self.params, ks, vs, self.cache, jnp.int32(slot))
+            first = jnp.argmax(logits[0, t - 1]).astype(jnp.int32)
+            self.tokens = self.tokens.at[slot].set(first)
+            self.pos = self.pos.at[slot].set(t)
+            req.slot = slot
+            req.tokens.append(int(first))
+            if int(first) == req.eos_id:
+                self._finish(req)
+            else:
+                self.slots[slot] = req
+
+    def _finish(self, req: Request):
+        req.done = True
+        req.finish_time = time.perf_counter()
+        if req.slot >= 0 and self.slots[req.slot] is req:
+            self.slots[req.slot] = None
+        req.slot = -1
+        self.completed.append(req)
+
+    def step(self):
+        """One engine iteration: admit new work, then one batched decode."""
+        self._admit()
+        active_list = [s is not None for s in self.slots]
+        if not any(active_list):
+            return
+        active = jnp.asarray(active_list)
+        self.key, sub = jax.random.split(self.key)
+        nxt, self.cache, self.pos = _decode_step(
+            self.params, self.config, self.specs, self.cache,
+            self.tokens, self.pos, sub, self.temperature, active,
+        )
+        self.tokens = nxt
+        nxt_host = np.asarray(nxt)
+        pos_host = np.asarray(self.pos)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(nxt_host[slot])
+            req.tokens.append(tok)
+            if (
+                tok == req.eos_id
+                or len(req.tokens) >= req.max_new_tokens
+                or int(pos_host[slot]) >= self.max_len - 1
+            ):
+                self._finish(req)

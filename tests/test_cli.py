@@ -1,0 +1,67 @@
+"""CLI entry points (reference L5 scripts parity): demo / convert / serve /
+train in tiny mode, in-process on CPU."""
+
+import json
+import os
+
+import pytest
+
+
+def test_demo_cli(capsys):
+    from ternary_vllm_tpu.cli.demo import main
+
+    main(["--quantization", "binary", "--tiny"])
+    out = capsys.readouterr().out
+    assert "compression" in out
+    assert "quantized params" in out
+
+
+def test_convert_then_serve_cli(tmp_path, capsys, monkeypatch):
+    pytest.importorskip("orbax.checkpoint")
+    from ternary_vllm_tpu.cli.convert import main as convert_main
+    from ternary_vllm_tpu.cli.serve import main as serve_main
+
+    out = str(tmp_path / "artifact")
+    convert_main(["--tiny", "--quantization", "ternary", "--out", out])
+    stdout = capsys.readouterr().out
+    assert "saved artifact" in stdout
+    assert os.path.exists(os.path.join(out, "meta.json"))
+
+    serve_main([
+        "--artifact", out, "--prompt-len", "4", "--max-new-tokens", "4",
+        "--max-len", "32",
+    ])
+    stdout = capsys.readouterr().out
+    assert "t/s" in stdout
+
+    # engine path
+    serve_main([
+        "--artifact", out, "--prompt-len", "4", "--max-new-tokens", "4",
+        "--max-len", "32", "--requests", "3", "--max-batch", "2",
+    ])
+    stdout = capsys.readouterr().out
+    assert "3 requests" in stdout
+
+
+def test_train_cli_smoke(tmp_path, capsys):
+    pytest.importorskip("orbax.checkpoint")
+    from ternary_vllm_tpu.cli.train import main
+
+    main([
+        "--tiny", "--quantization", "ternary", "--max-steps", "2",
+        "--batch-size", "2", "--out", str(tmp_path / "ckpt"),
+    ])
+    out = capsys.readouterr().out
+    assert "step 1:" in out
+    assert "saved" in out
+
+
+def test_env_override(monkeypatch, capsys):
+    from ternary_vllm_tpu.cli.demo import main
+
+    # env var overrides the flag (reference utils/scripting.py:4-5)
+    monkeypatch.setenv("QUANTIZATION", "ternary")
+    from ternary_vllm_tpu.cli.train import parse_args
+
+    args = parse_args(["--tiny", "--quantization", "binary"])
+    assert args.quantization == "ternary"
