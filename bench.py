@@ -107,9 +107,11 @@ def worker(kind: str, batch: int) -> None:
             params, cfg, specs, cache, first, jnp.int32(PROMPT_LEN),
             max_steps=STEPS, eos_id=-1,
         )
-        jax.block_until_ready(tokens)
+        # a real D2H fetch, not just block_until_ready: on this transport
+        # readiness can be reported before remote execution finishes
+        host = np.asarray(tokens)
         dt = time.perf_counter() - t0
-        return np.asarray(tokens), dt
+        return host, dt
 
     toks_a, _ = run()  # compile
     log(f"[worker {kind}] compiled; tokens[:4]={toks_a[:, :4].tolist()}")

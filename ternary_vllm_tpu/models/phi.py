@@ -177,12 +177,40 @@ def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     """Preallocated KV cache: list of per-layer (k, v), each
     ``(batch, kv_heads, max_len, head_dim)``.  Position threading is explicit
     (the ``pos`` argument of :func:`forward`); the reference's growing
-    concat-cache (``layers.py:267-268``) is the anti-pattern this replaces."""
+    concat-cache (``layers.py:267-268``) is the anti-pattern this replaces.
+
+    ``dtype="int8"`` selects the quantized cache (BASELINE north star:
+    "activations and KV-cache stay INT8/BF16"): per-layer 4-tuples
+    ``(k_q int8, k_scale, v_q int8, v_scale)`` with per-(b, head, position)
+    absmax scales — halves cache HBM traffic vs bf16."""
     shape = (batch, config.num_key_value_heads, max_len, config.head_dim)
+    sshape = (batch, config.num_key_value_heads, max_len, 1)
+    if dtype in ("int8", jnp.int8):
+        return [
+            (
+                jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.bfloat16),
+                jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.bfloat16),
+            )
+            for _ in range(config.num_hidden_layers)
+        ]
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(config.num_hidden_layers)
     ]
+
+
+def _quantize_kv(x):
+    """(..., hd) float -> (int8 codes, per-vector absmax scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def _dequantize_kv(q, scale, dtype):
+    return (q.astype(dtype) * scale.astype(dtype)).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -313,19 +341,36 @@ def _decoder_layer(
     q, k = apply_rotary(q, k, cos, sin, config.rotary_dim)
 
     if kv is not None:
-        ck, cv = kv
         if _is_vector_pos(pos):
             # per-sequence positions (continuous batching): scatter each row
-            upd = jax.vmap(
-                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p, 0))
-            )
-            ck = upd(ck, k.astype(ck.dtype), pos)
-            cv = upd(cv, v.astype(cv.dtype), pos)
+            def write(c, u, p):
+                return jax.vmap(
+                    lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, pp, 0))
+                )(c, u.astype(c.dtype), p)
         else:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
-        new_kv = (ck, cv)
-        k_full, v_full = ck.astype(x.dtype), cv.astype(x.dtype)
+            def write(c, u, p=pos):
+                return jax.lax.dynamic_update_slice(c, u.astype(c.dtype), (0, 0, p, 0))
+
+        if len(kv) == 4:  # int8 quantized cache
+            ck, cks, cv, cvs = kv
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            if _is_vector_pos(pos):
+                ck, cks = write(ck, kq, pos), write(cks, ks, pos)
+                cv, cvs = write(cv, vq, pos), write(cvs, vs, pos)
+            else:
+                ck, cks, cv, cvs = write(ck, kq), write(cks, ks), write(cv, vq), write(cvs, vs)
+            new_kv = (ck, cks, cv, cvs)
+            k_full = _dequantize_kv(ck, cks, x.dtype)
+            v_full = _dequantize_kv(cv, cvs, x.dtype)
+        else:
+            ck, cv = kv
+            if _is_vector_pos(pos):
+                ck, cv = write(ck, k, pos), write(cv, v, pos)
+            else:
+                ck, cv = write(ck, k), write(cv, v)
+            new_kv = (ck, cv)
+            k_full, v_full = ck.astype(x.dtype), cv.astype(x.dtype)
     else:
         new_kv = None
         k_full, v_full = k, v

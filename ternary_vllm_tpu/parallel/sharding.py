@@ -63,8 +63,10 @@ def phi_param_specs(params) -> Dict[str, Any]:
 
 
 def cache_specs(cache) -> Any:
-    """KV cache (B, H, T, hd): batch over data, heads over model."""
-    return [(P("data", "model", None, None), P("data", "model", None, None)) for _ in cache]
+    """KV cache (B, H, T, *): batch over data, heads over model.  Handles both
+    the bf16 2-tuple and int8 4-tuple (values + scales) layouts."""
+    spec = P("data", "model", None, None)
+    return [tuple(spec for _ in entry) for entry in cache]
 
 
 def shard_params(params, mesh: Mesh):
