@@ -375,10 +375,18 @@ def _decoder_layer(
         new_kv = None
         k_full, v_full = k, v
 
-    k_full = _repeat_kv(k_full, h // kvh)
-    v_full = _repeat_kv(v_full, h // kvh)
+    if new_kv is not None and t == 1 and len(kv) == 2:
+        # fused length-aware decode attention: HBM reads bounded by the live
+        # sequence length, not cache capacity (ops/decode_attention.py)
+        from ternary_vllm_tpu.ops.decode_attention import decode_attention
 
-    attn = _attention(q, k_full, v_full, mask)
+        newest = pos if _is_vector_pos(pos) else pos + t - 1
+        attn = decode_attention(q[:, :, 0], new_kv[0].astype(x.dtype), new_kv[1].astype(x.dtype), newest)
+        attn = attn[:, :, None, :]
+    else:
+        k_full = _repeat_kv(k_full, h // kvh)
+        v_full = _repeat_kv(v_full, h // kvh)
+        attn = _attention(q, k_full, v_full, mask)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
     attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
 
