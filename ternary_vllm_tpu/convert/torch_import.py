@@ -135,6 +135,50 @@ def params_from_state_dict(
     return {"wte": wte, "layers": layers, "lm_head": head}
 
 
+def vision_params_from_state_dict(sd: Mapping[str, object], config, dtype=jnp.float32) -> Dict:
+    """Moondream2 vision tower (SigLIP encoder + projection) → vision pytree.
+
+    Expected torch names (the encoder the reference calls at
+    ``train.py:157-159`` / ``test_tflite.py:82-91``):
+      ``vision_encoder.encoder.model.visual.patch_embed.linear.{weight,bias}``
+      ``...visual.pos_embed``
+      ``...visual.blocks.{i}.norm1/attn.qkv/attn.proj/norm2/mlp.fc1/mlp.fc2``
+      ``...visual.norm.{weight,bias}``
+      ``vision_encoder.projection.mlp.fc1/fc2``
+    A leading ``vision_encoder.`` / ``model.`` prefix is stripped if present.
+    """
+    for prefix in ("vision_encoder.", "model."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    vis = "encoder.model.visual"
+    layers = []
+    for i in range(config.num_layers):
+        p = f"{vis}.blocks.{i}"
+        layers.append(
+            {
+                "ln1": _ln(sd, f"{p}.norm1", dtype),
+                "qkv": _linear(sd, f"{p}.attn.qkv", dtype),
+                "proj": _linear(sd, f"{p}.attn.proj", dtype),
+                "ln2": _ln(sd, f"{p}.norm2", dtype),
+                "fc1": _linear(sd, f"{p}.mlp.fc1", dtype),
+                "fc2": _linear(sd, f"{p}.mlp.fc2", dtype),
+            }
+        )
+    pos = _np(sd[f"{vis}.pos_embed"])
+    if pos.ndim == 3:
+        pos = pos[0]
+    return {
+        "patch_embed": _linear(sd, f"{vis}.patch_embed.linear", dtype),
+        "pos_embed": jnp.asarray(pos, dtype),
+        "layers": layers,
+        "ln_post": _ln(sd, f"{vis}.norm", dtype),
+        "projection": {
+            "fc1": _linear(sd, "projection.mlp.fc1", dtype),
+            "fc2": _linear(sd, "projection.mlp.fc2", dtype),
+        },
+    }
+
+
 def load_safetensors_params(path: str, config: PhiConfig, dtype=jnp.float32) -> Dict:
     """Load from a .safetensors file (the reference reloads checkpoints this
     way, ``convert.py:75-79``)."""

@@ -82,6 +82,7 @@ class LinearSpec:
     mode: str = "ternary"  # ternary | binary | binary01 | smoothBinary (qat/packed)
     clip_val: Optional[float] = 100.0
     impl: str = "auto"  # kernel dispatch for packed
+    fmt: str = "q2"  # packed storage: q2 (bit-planes) | q4 (nibble int4)
 
     def __post_init__(self):
         if self.kind not in ("dense", "qat", "packed"):
@@ -250,6 +251,7 @@ def apply_linear(spec: LinearSpec, p: Dict[str, Any], x, act: Optional[str] = No
         clip_val=spec.clip_val,
         act=act,
         impl=spec.impl,
+        fmt=spec.fmt,
     )
 
 
@@ -329,10 +331,28 @@ def _decoder_layer(
     b, t, d = x.shape
     h, hd = config.num_attention_heads, config.head_dim
     kvh = config.num_key_value_heads
+    fused = "in_proj" in spec
 
     hidden = _layer_norm(p["ln"], x, config.layer_norm_eps)
 
-    qkv = apply_linear(spec["wqkv"], p["wqkv"], hidden)
+    if fused:
+        # one kernel for [Wqkv | fc1]; gelu on the fc1 half via act_split
+        from ternary_vllm_tpu.ops.ternary_matmul import quantized_matmul as _qm
+
+        both = _qm(
+            hidden,
+            p["in_proj"]["packed"],
+            mode="ternary",
+            scale=p["in_proj"]["scale"],
+            bias=p["in_proj"]["b"],
+            clip_val=spec["in_proj"].clip_val,
+            act=config.hidden_act,
+            act_split=3 * d,
+            impl=spec["in_proj"].impl,
+        )
+        qkv, mlp_hidden = both[..., : 3 * d], both[..., 3 * d :]
+    else:
+        qkv = apply_linear(spec["wqkv"], p["wqkv"], hidden)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
@@ -388,8 +408,26 @@ def _decoder_layer(
         v_full = _repeat_kv(v_full, h // kvh)
         attn = _attention(q, k_full, v_full, mask)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
-    attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
+    if fused:
+        # one dual-accumulator kernel for out_proj(attn) + fc2(mlp_hidden)
+        from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
 
+        o2 = p["out2"]
+        combined = dual_ternary_matmul(
+            attn,
+            mlp_hidden,
+            o2["packed"],
+            d // 4,
+            o2["scale1"],
+            o2["b1"],
+            o2["scale2"],
+            o2["b2"],
+            clip_val=spec["out2"].clip_val,
+            impl=spec["out2"].impl,
+        )
+        return combined + x, new_kv
+
+    attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
     mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
     mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
 

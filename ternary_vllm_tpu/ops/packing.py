@@ -138,6 +138,57 @@ def unpack_binary(packed, k: int, zero_one: bool = False, dtype=jnp.float32) -> 
 
 
 # ---------------------------------------------------------------------------
+# q4 (nibble) format: 2 int4 values per byte along K, sublane-interleaved.
+#
+# TPU-specific: `pltpu.bitcast(uint8 (S, N) -> int4)` yields (2S, N) with byte
+# s splitting into sublanes (2s: LOW nibble, 2s+1: HIGH nibble).  Packing to
+# match that layout makes the kernel's unpack a SINGLE cast — no shifts/masks
+# — at the cost of 4 bits/param instead of 2.  This is the throughput-optimal
+# ternary format (the decode kernel is VPU-unpack-bound in q2); q2 remains
+# the memory-optimal format.  Values may span the full int4 range [-8, 7], so
+# the same format serves int4-quantized layers.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _pack_q4_impl(w):
+    k, n = w.shape
+    kp = _round_up(k, 2)
+    q = jnp.clip(jnp.round(w), -8, 7).astype(jnp.int32)
+    if kp != k:
+        q = jnp.concatenate([q, jnp.zeros((kp - k, n), jnp.int32)], axis=0)
+    lo = q[0::2] & 0xF
+    hi = q[1::2] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def pack_q4(w) -> jnp.ndarray:
+    """Pack int4-valued weights ``(K, N)`` (e.g. ternary {-1,0,+1}) into uint8
+    ``(ceil(K/2), N)`` in the TPU nibble-bitcast layout."""
+    w = jnp.asarray(w)
+    if w.ndim != 2:
+        raise ValueError(f"pack_q4 expects 2D (K, N), got {w.shape}")
+    return _pack_q4_impl(w)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dtype"))
+def unpack_q4(packed, k: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`pack_q4`: uint8 (S, N) -> (k, N)."""
+    packed = jnp.asarray(packed).astype(jnp.int32)
+    s, n = packed.shape
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    lo = lo - 16 * (lo > 7)
+    hi = hi - 16 * (hi > 7)
+    full = jnp.stack([lo, hi], axis=1).reshape(2 * s, n)
+    return full[:k].astype(dtype)
+
+
+def packed_q4_shape(k: int, n: int) -> tuple[int, int]:
+    return (_round_up(k, 2) // 2, n)
+
+
+# ---------------------------------------------------------------------------
 # numpy variants for offline/host-side conversion (no device round-trip).
 # ---------------------------------------------------------------------------
 

@@ -49,6 +49,7 @@ from ternary_vllm_tpu.ops.packing import (
     BINARY_PLANES,
     TERNARY_PLANES,
     unpack_binary,
+    unpack_q4,
     unpack_ternary,
 )
 
@@ -102,7 +103,8 @@ def _num_planes(mode):
 
 
 def _packed_matmul_kernel(
-    x_ref, p_ref, scale_ref, bias_ref, o_ref, acc_ref, *, s, bs, n_kt, mode, clip_val, act
+    x_ref, p_ref, scale_ref, bias_ref, o_ref, acc_ref, *, s, bs, n_kt, mode, clip_val, act,
+    act_split=None, bn=None,
 ):
     """Unpack cost is the whole ballgame for decode (matvec): the MXU is idle
     waiting on the VPU, so the kernel matmuls the raw bit-field CODES (3 VPU
@@ -139,7 +141,16 @@ def _packed_matmul_kernel(
         if mode != "binary01":
             rs = jnp.sum(x_ref[:].astype(jnp.float32), axis=1, keepdims=True)
             acc = (2.0 * acc - rs) if mode == "binary" else (acc - rs)
-        out = _apply_epilogue(acc, scale_ref[:], bias_ref[:], clip_val, act)
+        if act_split is None:
+            out = _apply_epilogue(acc, scale_ref[:], bias_ref[:], clip_val, act)
+        else:
+            # act only on output columns >= act_split (fused [wqkv | fc1]:
+            # gelu belongs to the fc1 half only)
+            out = _apply_epilogue(acc, scale_ref[:], bias_ref[:], clip_val, None)
+            col = pl.program_id(1) * bn + jax.lax.broadcasted_iota(
+                jnp.int32, out.shape, 1
+            )
+            out = jnp.where(col >= act_split, _ACTS[act](out), out)
         o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -152,10 +163,13 @@ def _pick_block(dim: int, candidates) -> Optional[int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "clip_val", "act", "out_dtype", "bm", "bn", "bs", "interpret"),
+    static_argnames=(
+        "mode", "clip_val", "act", "out_dtype", "bm", "bn", "bs", "interpret", "act_split"
+    ),
 )
 def _packed_matmul_pallas(
-    x, packed, scale, bias, *, mode, clip_val, act, out_dtype, bm, bn, bs, interpret=False
+    x, packed, scale, bias, *, mode, clip_val, act, out_dtype, bm, bn, bs,
+    interpret=False, act_split=None,
 ):
     m, kp = x.shape
     s, n = packed.shape
@@ -170,6 +184,8 @@ def _packed_matmul_pallas(
         mode=mode,
         clip_val=clip_val,
         act=act,
+        act_split=act_split,
+        bn=bn,
     )
     planes = _num_planes(mode)
     cost = pl.CostEstimate(
@@ -198,21 +214,243 @@ def _packed_matmul_pallas(
     )(x, packed, scale, bias)
 
 
+def _q4_matmul_kernel(
+    x_ref, p_ref, scale_ref, bias_ref, o_ref, acc_ref, *, bs, n_kt, clip_val, act
+):
+    """q4 (nibble) kernel: `bitcast(uint8 -> int4)` doubles the sublane dim
+    into true int4 weights, so the unpack is ONE cast — the decode-bound VPU
+    work of the q2 kernel disappears (see ops/packing.py q4 notes)."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = pltpu.bitcast(p_ref[:], jnp.int4).astype(x_ref.dtype)  # (2*BS, BN)
+    xs = x_ref[:, pl.ds(kt * 2 * bs, 2 * bs)]
+    acc_ref[:] = acc_ref[:] + jnp.dot(xs, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        out = _apply_epilogue(acc_ref[:], scale_ref[:], bias_ref[:], clip_val, act)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("clip_val", "act", "out_dtype", "bm", "bn", "bs", "interpret"),
+)
+def _q4_matmul_pallas(
+    x, packed, scale, bias, *, clip_val, act, out_dtype, bm, bn, bs, interpret=False
+):
+    m, kp = x.shape
+    s, n = packed.shape
+    n_kt = s // bs
+    grid = (pl.cdiv(m, bm), n // bn, n_kt)
+    kernel = functools.partial(
+        _q4_matmul_kernel, bs=bs, n_kt=n_kt, clip_val=clip_val, act=act
+    )
+    cost = pl.CostEstimate(
+        flops=2 * m * n * kp,
+        bytes_accessed=s * n + m * kp * x.dtype.itemsize + m * n * jnp.dtype(out_dtype).itemsize,
+        transcendentals=m * n if act in ("gelu_new", "gelu", "silu") else 0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, packed, scale, bias)
+
+
 # ---------------------------------------------------------------------------
 # XLA fallback (correct everywhere; used on CPU and for unaligned shapes)
 # ---------------------------------------------------------------------------
 
 
-def _packed_matmul_xla(x, packed, scale, bias, *, mode, clip_val, act, out_dtype):
+def _packed_matmul_xla(x, packed, scale, bias, *, mode, clip_val, act, out_dtype, fmt="q2"):
     m, kp = x.shape
     s, n = packed.shape
-    if mode == "ternary":
+    if fmt == "q4":
+        w = unpack_q4(packed, kp, dtype=x.dtype)
+    elif mode == "ternary":
         w = unpack_ternary(packed, kp, dtype=x.dtype)
     else:
         w = unpack_binary(packed, kp, zero_one=(mode == "binary01"), dtype=x.dtype)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     out = _apply_epilogue(acc, scale, bias, clip_val, act)
     return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dual-source packed matmul: two stacked weights, one kernel
+#
+# Decode is launch-overhead-sensitive (96 small kernels/step on the flagship);
+# out_proj and fc2 both produce hidden_size outputs that the parallel block
+# SUMS (x + attn + mlp, reference layers.py:347), so they fuse into one kernel
+# over concatenated inputs [attn_out | mlp_hidden] with the two weights packed
+# separately and stacked along S (block-planar layout).  Per-source f32
+# accumulators keep the reference's exact per-matrix epilogue semantics:
+#   y = clip(acc1*s1 + b1, ±c) + clip(acc2*s2 + b2, ±c)
+# ---------------------------------------------------------------------------
+
+
+def _dual_matmul_kernel(
+    x_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref, acc1_ref, acc2_ref,
+    *, s1, s2, bs, n_kt, clip_val
+):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    packed = p_ref[:].astype(jnp.int32)
+    k1 = 4 * s1
+    s0 = kt * bs
+    in_a = s0 < s1
+
+    @pl.when(in_a)
+    def _():
+        acc = acc1_ref[:]
+        for j in range(4):
+            sh = packed >> (2 * j) if j else packed
+            codes = sh if j == 3 else sh & 3
+            w = codes.astype(x_ref.dtype)
+            xs = x_ref[:, pl.ds(j * s1 + s0, bs)]
+            acc = acc + jnp.dot(xs, w, preferred_element_type=jnp.float32)
+        acc1_ref[:] = acc
+
+    @pl.when(jnp.logical_not(in_a))
+    def _():
+        acc = acc2_ref[:]
+        for j in range(4):
+            sh = packed >> (2 * j) if j else packed
+            codes = sh if j == 3 else sh & 3
+            w = codes.astype(x_ref.dtype)
+            xs = x_ref[:, pl.ds(k1 + j * s2 + (s0 - s1), bs)]
+            acc = acc + jnp.dot(xs, w, preferred_element_type=jnp.float32)
+        acc2_ref[:] = acc
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        rs1 = jnp.sum(xf[:, :k1], axis=1, keepdims=True)
+        rs2 = jnp.sum(xf[:, k1:], axis=1, keepdims=True)
+        y1 = (acc1_ref[:] - rs1) * s1_ref[:] + b1_ref[:]
+        y2 = (acc2_ref[:] - rs2) * s2_ref[:] + b2_ref[:]
+        if clip_val is not None:
+            y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
+            y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
+        o_ref[:] = (y1 + y2).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s1", "clip_val", "out_dtype", "bm", "bn", "bs", "interpret"),
+)
+def _dual_matmul_pallas(
+    x, packed, scale1, bias1, scale2, bias2, *, s1, clip_val, out_dtype, bm, bn, bs,
+    interpret=False,
+):
+    m, ktot = x.shape
+    s_tot, n = packed.shape
+    s2 = s_tot - s1
+    n_kt = s_tot // bs
+    kernel = functools.partial(
+        _dual_matmul_kernel, s1=s1, s2=s2, bs=bs, n_kt=n_kt, clip_val=clip_val
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(m, bm), n // bn, n_kt),
+        in_specs=[
+            pl.BlockSpec((bm, ktot), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, packed, scale1, bias1, scale2, bias2)
+
+
+def dual_ternary_matmul(
+    x1,
+    x2,
+    packed_stacked,
+    s1: int,
+    scale1,
+    bias1,
+    scale2,
+    bias2,
+    clip_val: Optional[float] = 100.0,
+    impl: str = "auto",
+):
+    """``clip(x1 @ W1 * s1 + b1) + clip(x2 @ W2 * s2 + b2)`` in one kernel.
+
+    ``packed_stacked``: ``vstack(pack_ternary(W1), pack_ternary(W2))`` — each
+    weight packed separately (block-planar, same rule as sharded packing).
+    ``s1``: packed-row count of the first block (= K1/4).
+    """
+    lead = x1.shape[:-1]
+    k1, k2 = x1.shape[-1], x2.shape[-1]
+    m = math.prod(lead) if lead else 1
+    x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
+    s_tot, n = packed_stacked.shape
+    s2 = s_tot - s1
+    if 4 * s1 != k1 or 4 * s2 != k2:
+        raise ValueError(f"packed rows ({s1},{s2}) inconsistent with K dims ({k1},{k2})")
+
+    dt = x.dtype
+    sc1 = scale1.reshape(1, n).astype(jnp.float32)
+    sc2 = scale2.reshape(1, n).astype(jnp.float32)
+    b1 = bias1.reshape(1, n).astype(jnp.float32)
+    b2 = bias2.reshape(1, n).astype(jnp.float32)
+
+    bs = _pick_block(math.gcd(s1, s2), (512, 256, 128))
+    aligned = bs is not None and n % 128 == 0 and s1 % 128 == 0 and s2 % 128 == 0
+    if impl != "xla" and aligned and (_on_tpu() or impl == "pallas"):
+        sub = 16 if dt == jnp.bfloat16 else 8
+        bm = 128 if m >= 128 else ((m + sub - 1) // sub) * sub
+        bn = _pick_block(n, (512, 256, 128))
+        out = _dual_matmul_pallas(
+            x, packed_stacked, sc1, b1, sc2, b2,
+            s1=s1, clip_val=clip_val, out_dtype=dt, bm=bm, bn=bn, bs=bs,
+            interpret=not _on_tpu(),
+        )
+    else:
+        w1 = unpack_ternary(packed_stacked[:s1], k1, dtype=dt)
+        w2 = unpack_ternary(packed_stacked[s1:], k2, dtype=dt)
+        y1 = jnp.dot(x[:, :k1], w1, preferred_element_type=jnp.float32) * sc1 + b1
+        y2 = jnp.dot(x[:, k1:], w2, preferred_element_type=jnp.float32) * sc2 + b2
+        if clip_val is not None:
+            y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
+            y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
+        out = (y1 + y2).astype(dt)
+    return out.reshape(*lead, n)
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +475,8 @@ def quantized_matmul(
     clip_val: Optional[float] = 100.0,
     act: Optional[str] = None,
     impl: str = "auto",
+    fmt: str = "q2",
+    act_split: Optional[int] = None,
 ):
     """``y = act(clip((x @ unpack(packed)) * scale + bias, ±clip_val))``.
 
@@ -250,10 +490,18 @@ def quantized_matmul(
         ``binary/modules.py:58``); ``None`` disables.
       act: fused activation (``"gelu_new"`` for fc1, else ``None``).
       impl: ``"auto" | "pallas" | "xla"``.
+      fmt: ``"q2"`` (bit-planes: 2-bit ternary / 1-bit binary — memory
+        optimal) or ``"q4"`` (nibble int4 — throughput optimal, ternary only).
 
     Returns ``(..., N)`` in ``x.dtype``.
     """
-    planes = _num_planes(mode)
+    if fmt not in ("q2", "q4"):
+        raise ValueError(f"unknown packed format {fmt!r}")
+    if fmt == "q4" and mode != "ternary":
+        raise ValueError("q4 format only stores ternary/int4 values")
+    if act_split is not None and fmt == "q4":
+        raise ValueError("act_split (fused in_proj) is only wired for the q2 kernel")
+    planes = 2 if fmt == "q4" else _num_planes(mode)
     s, n = packed.shape
     kp = s * planes
     k = x.shape[-1]
@@ -271,35 +519,55 @@ def quantized_matmul(
 
     use_pallas = False
     if impl in ("auto", "pallas"):
-        aligned = (n % 128 == 0) and (s % 128 == 0)
+        s_align = 64 if fmt == "q4" else 128
+        aligned = (n % 128 == 0) and (s % s_align == 0)
         use_pallas = aligned and (_on_tpu() or impl == "pallas")
         if impl == "pallas" and not aligned:
             raise ValueError(
-                f"pallas packed matmul needs N%128==0 and S%128==0, got N={n}, S={s}"
+                f"pallas packed matmul needs N%128==0 and S%{s_align}==0, got N={n}, S={s}"
             )
+    if fmt == "q4" and use_pallas and not _on_tpu():
+        use_pallas = False  # no sub-byte bitcast in interpret mode
 
     if use_pallas:
         sub = 16 if dt == jnp.bfloat16 else 8
         bm = 128 if m >= 128 else ((m + sub - 1) // sub) * sub
         bn = _pick_block(n, (512, 256, 128))
-        bs = _pick_block(s, (512, 256, 128))
-        out = _packed_matmul_pallas(
-            x2, packed, scale2, bias2,
-            mode=mode, clip_val=clip_val, act=act, out_dtype=dt,
-            bm=bm, bn=bn, bs=bs,
-            interpret=not _on_tpu(),
-        )
+        if fmt == "q4":
+            bs = _pick_block(s, (1024, 512, 256, 128, 64))
+            out = _q4_matmul_pallas(
+                x2, packed, scale2, bias2,
+                clip_val=clip_val, act=act, out_dtype=dt,
+                bm=bm, bn=bn, bs=bs,
+            )
+        else:
+            bs = _pick_block(s, (512, 256, 128))
+            out = _packed_matmul_pallas(
+                x2, packed, scale2, bias2,
+                mode=mode, clip_val=clip_val, act=act, out_dtype=dt,
+                bm=bm, bn=bn, bs=bs,
+                interpret=not _on_tpu(),
+                act_split=act_split,
+            )
     else:
         out = _packed_matmul_xla(
-            x2, packed, scale2, bias2, mode=mode, clip_val=clip_val, act=act, out_dtype=dt
+            x2, packed, scale2, bias2, mode=mode, clip_val=clip_val,
+            act=None if act_split is not None else act,
+            out_dtype=dt, fmt=fmt,
         )
+        if act_split is not None and act is not None:
+            cols = jnp.arange(n)[None, :]
+            out = jnp.where(cols >= act_split, _ACTS[act](out.astype(jnp.float32)), out.astype(jnp.float32)).astype(dt)
     return out.reshape(*lead, n)
 
 
-def ternary_matmul(x, packed, scale=None, bias=None, clip_val=100.0, act=None, impl="auto"):
+def ternary_matmul(
+    x, packed, scale=None, bias=None, clip_val=100.0, act=None, impl="auto", fmt="q2"
+):
     """Fused packed-ternary matmul (the reference's ``ops.ternary_matmul``)."""
     return quantized_matmul(
-        x, packed, mode="ternary", scale=scale, bias=bias, clip_val=clip_val, act=act, impl=impl
+        x, packed, mode="ternary", scale=scale, bias=bias, clip_val=clip_val,
+        act=act, impl=impl, fmt=fmt,
     )
 
 

@@ -30,6 +30,10 @@ ROW_PARALLEL = ("out_proj", "fc2")
 
 
 def _linear_spec(name: str, p: Dict[str, Any]) -> Dict[str, P]:
+    if name not in COL_PARALLEL and name not in ROW_PARALLEL:
+        # fused single-chip formats (in_proj/out2) are replicated; use the
+        # unfused layout for tensor parallelism
+        return {key: P() for key in p}
     col = name in COL_PARALLEL
     spec = {}
     for key in p:

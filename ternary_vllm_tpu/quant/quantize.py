@@ -28,7 +28,7 @@ from ternary_vllm_tpu.models.phi import (
     LinearSpec,
     PhiConfig,
 )
-from ternary_vllm_tpu.ops.packing import pack_binary, pack_ternary
+from ternary_vllm_tpu.ops.packing import pack_binary, pack_q4, pack_ternary
 from ternary_vllm_tpu.ops.quantizers import QUANTIZERS
 from ternary_vllm_tpu.quant.calibrate import calibrate_linear
 
@@ -85,14 +85,15 @@ def quantize_decoder_params(params, config: PhiConfig, qc: QuantConfig):
     return out, tuple(specs)
 
 
-def pack_decoder_params(params, specs, k_multiple: int = 512):
+def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2"):
     """QAT params → (packed params, packed specs) for inference.
 
     Latent weights are hard-quantized with the spec's STE forward (sign /
     tri-step — same thresholds as the reference's conversion, which ternarizes
     with SteTern(0.5) before packing, ``utils/conversion.py:44-93``) and
     bit-packed with K padded to ``k_multiple`` so S stays lane-aligned for the
-    Pallas kernel."""
+    Pallas kernel.  ``fmt="q4"`` (ternary only) selects the nibble-int4
+    throughput format (see ``ops/packing.py``)."""
     new_layers, new_specs = [], []
     for layer, spec in zip(params["layers"], specs):
         new_layer = {"ln": layer["ln"]}
@@ -114,19 +115,73 @@ def pack_decoder_params(params, specs, k_multiple: int = 512):
                     w = jnp.concatenate(
                         [w, jnp.full((kp - k, w.shape[1]), pad_val, w.dtype)], axis=0
                     )
-                if s.mode == "ternary":
+                use_fmt = fmt if s.mode == "ternary" else "q2"
+                if use_fmt == "q4":
+                    packed = pack_q4(w)
+                elif s.mode == "ternary":
                     packed = pack_ternary(w)
                 else:
                     packed = pack_binary(w, zero_one=(s.mode == "binary01"))
                 new_layer[name] = {"packed": packed, "scale": scale, "b": p["b"]}
                 new_spec[name] = LinearSpec(
-                    kind="packed", mode=s.mode, clip_val=s.clip_val
+                    kind="packed", mode=s.mode, clip_val=s.clip_val, fmt=use_fmt
                 )
             else:
                 new_layer[name] = p
                 new_spec[name] = s
         new_layers.append(new_layer)
         new_specs.append(new_spec)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out, tuple(new_specs)
+
+
+def fuse_packed_decoder_params(params, specs):
+    """Fuse each fully-packed ternary-q2 layer's four matmuls into two:
+
+    * ``in_proj``  = [Wqkv | fc1] concatenated along output columns (shared
+      input ln(x); gelu applied to the fc1 half via the kernel's act_split);
+    * ``out2``     = [out_proj ; fc2] packed blocks stacked along S for the
+      dual-accumulator kernel (their outputs are summed by the parallel
+      residual block anyway, reference ``layers.py:347``).
+
+    Layers that aren't uniformly packed/ternary/q2 pass through unchanged.
+    Numerics are exact (per-matrix scale/bias/clip preserved)."""
+    new_layers, new_specs = [], []
+    for layer, spec in zip(params["layers"], specs):
+        fusable = all(
+            name in spec
+            and spec[name].kind == "packed"
+            and spec[name].mode == "ternary"
+            and spec[name].fmt == "q2"
+            for name in QUANT_LINEARS
+        ) and len({spec[n].clip_val for n in QUANT_LINEARS}) == 1
+        if not fusable:
+            new_layers.append(layer)
+            new_specs.append(spec)
+            continue
+        wqkv, fc1 = layer["wqkv"], layer["fc1"]
+        out_p, fc2 = layer["out_proj"], layer["fc2"]
+        clip = spec["wqkv"].clip_val
+        new_layers.append(
+            {
+                "ln": layer["ln"],
+                "in_proj": {
+                    "packed": jnp.concatenate([wqkv["packed"], fc1["packed"]], axis=1),
+                    "scale": jnp.concatenate([wqkv["scale"], fc1["scale"]]),
+                    "b": jnp.concatenate([wqkv["b"], fc1["b"]]),
+                },
+                "out2": {
+                    "packed": jnp.concatenate([out_p["packed"], fc2["packed"]], axis=0),
+                    "scale1": out_p["scale"],
+                    "b1": out_p["b"],
+                    "scale2": fc2["scale"],
+                    "b2": fc2["b"],
+                },
+            }
+        )
+        fused_spec = LinearSpec(kind="packed", mode="ternary", clip_val=clip)
+        new_specs.append({"in_proj": fused_spec, "out2": fused_spec})
     out = dict(params)
     out["layers"] = new_layers
     return out, tuple(new_specs)
@@ -151,14 +206,17 @@ def size_report(params, specs) -> dict:
                 n_other += sum(int(v.size) for v in p.values())
                 continue
             if (li, name) in q_paths:
+                spec = specs[li][name]
+                fmt = getattr(spec, "fmt", "q2")
                 if "latent" in p:
                     nw = int(p["latent"].size)
                 else:
-                    spec = specs[li][name]
-                    planes = 4 if spec.mode == "ternary" else 8
+                    planes = 2 if fmt == "q4" else (4 if spec.mode == "ternary" else 8)
                     nw = int(p["packed"].size) * planes
-                mode = specs[li][name].mode
-                bits = 2 if mode == "ternary" else 1
+                if fmt == "q4":
+                    bits = 4
+                else:
+                    bits = 2 if spec.mode == "ternary" else 1
                 bits_q += nw * bits
                 n_q += nw
                 n_other += sum(
