@@ -1,0 +1,81 @@
+"""Accuracy evaluation: loss / perplexity and FP-vs-quantized deltas.
+
+The reference never measures accuracy in-repo (train/val loss + qualitative
+samples only, SURVEY.md §6); the BASELINE gate is "≤1% accuracy drop vs the
+reference ternary checkpoint at the same bit-width".  This module is that
+gate's machinery: batched CE/perplexity evaluation and a one-call
+FP-vs-quantized comparison over any token stream.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.train.qat import cross_entropy_loss
+
+
+def evaluate_loss(params, config, specs, batches: Iterable[dict]) -> float:
+    """Mean causal-LM loss over batches of {input_ids | inputs_embeds, labels,
+    [attn_mask]} (HF shift semantics, −100 ignored)."""
+    frozen = phi.freeze_specs(specs)
+
+    @jax.jit
+    def batch_loss(params, batch):
+        if "inputs_embeds" in batch:
+            embeds = batch["inputs_embeds"]
+        else:
+            embeds = phi.embed_tokens(params, batch["input_ids"])
+        logits, _ = phi.forward(
+            params, config, frozen, embeds, None, 0, batch.get("attn_mask")
+        )
+        return cross_entropy_loss(logits, batch["labels"])
+
+    losses = [float(batch_loss(params, b)) for b in batches]
+    if not losses:
+        raise ValueError("no evaluation batches")
+    return float(np.mean(losses))
+
+
+def evaluate_perplexity(params, config, specs, batches: Iterable[dict]) -> float:
+    return float(np.exp(evaluate_loss(params, config, specs, batches)))
+
+
+def compare_quantization(
+    dense_params,
+    config,
+    batches: list,
+    qc=None,
+    packed: bool = True,
+) -> Dict[str, float]:
+    """FP baseline vs calibrated-quantized (optionally packed) on the same
+    data.  Returns {fp_loss, quant_loss, delta, fp_ppl, quant_ppl,
+    rel_ppl_increase}."""
+    from ternary_vllm_tpu.quant.quantize import (
+        QuantConfig,
+        pack_decoder_params,
+        quantize_decoder_params,
+    )
+
+    qc = qc or QuantConfig()
+    dense_specs = phi.layer_specs(config)
+    fp_loss = evaluate_loss(dense_params, config, dense_specs, batches)
+
+    qat_params, qat_specs = quantize_decoder_params(dense_params, config, qc)
+    if packed and qc.quantization != "smoothBinary":
+        qat_params, qat_specs = pack_decoder_params(qat_params, qat_specs, k_multiple=4)
+    q_loss = evaluate_loss(qat_params, config, qat_specs, batches)
+
+    fp_ppl, q_ppl = float(np.exp(fp_loss)), float(np.exp(q_loss))
+    return {
+        "fp_loss": fp_loss,
+        "quant_loss": q_loss,
+        "delta": q_loss - fp_loss,
+        "fp_ppl": fp_ppl,
+        "quant_ppl": q_ppl,
+        "rel_ppl_increase": (q_ppl - fp_ppl) / fp_ppl,
+    }

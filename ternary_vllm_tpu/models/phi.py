@@ -325,6 +325,7 @@ def _decoder_layer(
     mask,
     kv: Optional[Tuple],
     pos,
+    pure_causal: bool = False,
 ):
     """Parallel attn+MLP block: ``out = attn(ln(x)) + mlp(ln(x)) + x``
     (reference ``layers.py:332-348``). Returns (out, new_kv)."""
@@ -395,14 +396,28 @@ def _decoder_layer(
         new_kv = None
         k_full, v_full = k, v
 
-    if new_kv is not None and t == 1 and len(kv) == 2:
+    if new_kv is not None and t == 1:
         # fused length-aware decode attention: HBM reads bounded by the live
         # sequence length, not cache capacity (ops/decode_attention.py)
-        from ternary_vllm_tpu.ops.decode_attention import decode_attention
+        from ternary_vllm_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_int8,
+        )
 
         newest = pos if _is_vector_pos(pos) else pos + t - 1
-        attn = decode_attention(q[:, :, 0], new_kv[0].astype(x.dtype), new_kv[1].astype(x.dtype), newest)
+        if len(new_kv) == 4:
+            attn = decode_attention_int8(q[:, :, 0], *new_kv, newest)
+        else:
+            attn = decode_attention(
+                q[:, :, 0], new_kv[0].astype(x.dtype), new_kv[1].astype(x.dtype), newest
+            )
         attn = attn[:, :, None, :]
+    elif t > 1 and pure_causal:
+        # fresh-sequence prefill: blockwise flash attention over the new
+        # tokens only (cache history is empty; slots beyond t are unattended)
+        from ternary_vllm_tpu.ops.prefill_attention import prefill_attention
+
+        attn = prefill_attention(q, _repeat_kv(k, h // kvh), _repeat_kv(v, h // kvh))
     else:
         k_full = _repeat_kv(k_full, h // kvh)
         v_full = _repeat_kv(v_full, h // kvh)
@@ -523,6 +538,12 @@ def forward(
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
 
+    # pure-causal (no padding, fresh sequence) enables the flash prefill path
+    if cache is None:
+        pure_causal = attn_mask is None
+    else:
+        pure_causal = isinstance(pos, int) and pos == 0
+
     new_cache = [] if cache is not None else None
     for i, (layer_p, layer_s) in enumerate(zip(params["layers"], specs)):
         kv = cache[i] if cache is not None else None
@@ -531,12 +552,14 @@ def forward(
             # gradient_checkpointing_enable, train.py:220)
             layer_fn = jax.checkpoint(
                 lambda p, xx, kv_=kv, s_=layer_s: _decoder_layer(
-                    p, s_, config, xx, cos, sin, mask, kv_, pos
+                    p, s_, config, xx, cos, sin, mask, kv_, pos, pure_causal
                 )
             )
             x, new_kv = layer_fn(layer_p, x)
         else:
-            x, new_kv = _decoder_layer(layer_p, layer_s, config, x, cos, sin, mask, kv, pos)
+            x, new_kv = _decoder_layer(
+                layer_p, layer_s, config, x, cos, sin, mask, kv, pos, pure_causal
+            )
         if cache is not None:
             new_cache.append(new_kv)
 

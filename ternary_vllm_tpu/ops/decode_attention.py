@@ -121,6 +121,113 @@ def _decode_attention_pallas(q, k_cache, v_cache, pos, chunk: int = 256):
     )(pos_vec, q, k_cache, v_cache)
 
 
+def _decode_attn_kernel_i8(
+    pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, chunk, groups, scale
+):
+    """int8-cache variant: dequantize each chunk in VMEM (cast + per-position
+    scale multiply) — halves KV HBM traffic vs bf16."""
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    pos = pos_ref[bi]
+    last = pos // chunk
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        h, hd = q_ref.shape[1], q_ref.shape[2]
+        kvh = kq_ref.shape[1]
+        q = q_ref[0].astype(jnp.float32).reshape(kvh, groups, hd)
+        k = kq_ref[0].astype(jnp.float32) * ks_ref[0].astype(jnp.float32)
+        v = vq_ref[0].astype(jnp.float32) * vs_ref[0].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        logits = logits.reshape(h, chunk)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
+        logits = jnp.where(idx <= pos, logits, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.reshape(kvh, groups, chunk), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 256):
+    b, h, hd = q.shape
+    _, kvh, t, _ = kq.shape
+    groups = h // kvh
+    n_chunks = t // chunk
+    scale = 1.0 / math.sqrt(hd)
+
+    def kv_map(bi, c, pos):
+        return (bi, 0, jnp.minimum(c, pos[bi] // chunk), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, h, hd), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, chunk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, chunk, 1), kv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, hd), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, hd), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_attn_kernel_i8, chunk=chunk, groups=groups, scale=scale
+    )
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pos_vec, q, kq, ks, vq, vs)
+
+
+def decode_attention_int8(q, kq, ks, vq, vs, pos, chunk: int = 256, impl: str = "auto"):
+    """Single-token attention against the int8-quantized cache
+    (``phi.init_cache(..., dtype="int8")`` layout)."""
+    t = kq.shape[2]
+    shapes_ok = t % chunk == 0 and t >= chunk
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = shapes_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if not use_pallas:
+        k = (kq.astype(jnp.float32) * ks.astype(jnp.float32)).astype(q.dtype)
+        v = (vq.astype(jnp.float32) * vs.astype(jnp.float32)).astype(q.dtype)
+        return _decode_attention_xla(q, k, v, pos)
+    return _decode_attention_pallas_i8(q, kq, ks, vq, vs, jnp.asarray(pos), chunk=chunk)
+
+
 def _decode_attention_xla(q, k_cache, v_cache, pos):
     b, h, hd = q.shape
     _, kvh, t, _ = k_cache.shape

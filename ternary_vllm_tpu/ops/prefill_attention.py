@@ -1,0 +1,61 @@
+"""Prefill attention dispatch: JAX's official Pallas flash-attention kernel on
+TPU, masked-softmax XLA fallback elsewhere.
+
+The XLA path materializes the (B, H, T, S) f32 score tensor — fine for short
+prompts, wasteful at 729-token image prefills; the flash kernel keeps scores
+in VMEM tiles (standard blockwise online-softmax).  We use the stock
+``jax.experimental.pallas.ops.tpu.flash_attention`` rather than rolling our
+own: prefill is a vanilla causal attention, exactly what the official kernel
+is for (our custom kernels cover what it doesn't: length-bounded single-token
+decode and int8-cache decode)."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_causal(q, k, v, scale):
+    t, s = q.shape[2], k.shape[2]
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32) * scale
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    logits = logits + jnp.where(kv_idx <= q_idx, 0.0, neg)[None, None]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def prefill_attention(q, k, v, impl: str = "auto"):
+    """Causal self-attention for the prefill phase.  q/k/v: (B, H, T, hd),
+    same T (fresh sequence, no history).  Returns (B, H, T, hd)."""
+    b, h, t, hd = q.shape
+    scale = 1.0 / math.sqrt(hd)
+    on_tpu = jax.default_backend() == "tpu"
+    use_flash = (
+        impl in ("auto", "flash")
+        and on_tpu
+        and t >= 128
+        and t % 128 == 0
+    )
+    if not use_flash:
+        return _xla_causal(q, k, v, scale)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    blk = min(t, 256)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    return flash_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True, sm_scale=scale, block_sizes=sizes,
+    ).astype(q.dtype)
