@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Extended benchmarks covering BASELINE.json's config list (the driver's
+bench.py covers the flagship decode; these record the rest).  Prints one JSON
+line per config and writes BENCHMARKS.md.
+
+Configs (BASELINE.json):
+  1. single ternary Linear vs f32 dense at matrix_mul_tests.py shapes (1024^3)
+  2. (CIFAR stand-in) ternary MLP forward+train-step throughput
+  3. ternary ViT-B-class vision tower image-embedding throughput vs bf16
+  4. flagship VLM decode with INT8 KV cache
+
+Each measurement runs in-process with retry-resilient small scopes; run
+``python bench_extra.py`` on the TPU host.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _scan_time(fn, x, iters=200):
+    """One-dispatch timing: fn applied `iters` times inside lax.scan."""
+    import jax
+    import jax.numpy as jnp
+
+    def many(x):
+        def body(c, _):
+            o = fn(x + c * jnp.zeros_like(x))
+            return jnp.ravel(o)[:1].astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((1,), jnp.float32), None, length=iters)
+        return c
+
+    jf = jax.jit(many)
+    np.asarray(jf(x))
+    t0 = time.perf_counter()
+    np.asarray(jf(x))
+    total = time.perf_counter() - t0
+    return total / iters
+
+
+def config1_single_linear():
+    """matrix_mul_tests.py shapes: 1024x1024 @ 1024 (reference
+    matrix_mul_tests.py:12-41 benchmarks dense vs ternary on CPU torch)."""
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.ops.ternary_matmul import ternary_matmul
+
+    rng = np.random.default_rng(0)
+    m = k = n = 1024
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+    w = rng.integers(-1, 2, size=(k, n)).astype(np.float32)
+    packed = pack_ternary(jnp.asarray(w))
+    scale = jnp.ones((n,), jnp.float32)
+
+    t_tern = _scan_time(lambda xx: ternary_matmul(xx, packed, scale), x)
+    wd = jnp.asarray(w, jnp.float32)
+    t_dense = _scan_time(
+        lambda xx: jnp.dot(xx.astype(jnp.float32), wd, preferred_element_type=jnp.float32), x
+    )
+    return {
+        "metric": "ternary_linear_1024_cubed_us",
+        "value": round(t_tern * 1e6, 2),
+        "unit": "us",
+        "vs_baseline": round(t_dense / t_tern, 3),
+        "note": "raw scan-loop iteration times (shared harness overhead included in both)",
+    }
+
+
+def config3_vit_throughput():
+    """Ternary SigLIP-so400m-class tower: images/sec vs bf16 dense."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import vision
+    from ternary_vllm_tpu.models.phi import LinearSpec
+    from ternary_vllm_tpu.quant.calibrate import calibrate_ternary
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+
+    vc = vision.MOONDREAM_VISION_CONFIG
+    params = vision.init_vision_params(jax.random.PRNGKey(0), vc, jnp.bfloat16)
+    batch = 8
+    imgs = jnp.asarray(
+        np.random.default_rng(1).normal(size=(batch, vc.image_size, vc.image_size, 3)),
+        jnp.bfloat16,
+    )
+
+    def run_dense():
+        f = jax.jit(lambda im: vision.image_embeddings(params, vc, im))
+        jax.block_until_ready(f(imgs))
+        t0 = time.perf_counter()
+        np.asarray(f(imgs))[0, 0, :2]
+        return time.perf_counter() - t0
+
+    # quantize+pack every block linear
+    qparams = jax.tree_util.tree_map(lambda x: x, params)
+    qspecs = []
+    spec = LinearSpec(kind="packed", mode="ternary", clip_val=100.0)
+    new_layers = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        for name in vision.VIT_QUANT_LINEARS:
+            latent, scale = calibrate_ternary(layer[name]["w"].astype(jnp.float32))
+            nl[name] = {
+                "packed": pack_ternary(latent),
+                "scale": scale,
+                "b": layer[name]["b"],
+            }
+        new_layers.append(nl)
+        qspecs.append({n: spec for n in vision.VIT_QUANT_LINEARS})
+    qparams = dict(params)
+    qparams["layers"] = new_layers
+    qspecs = tuple(qspecs)
+
+    def run_tern():
+        f = jax.jit(lambda im: vision.image_embeddings(qparams, vc, im, qspecs))
+        jax.block_until_ready(f(imgs))
+        t0 = time.perf_counter()
+        np.asarray(f(imgs))[0, 0, :2]
+        return time.perf_counter() - t0
+
+    td = min(run_dense() for _ in range(2))
+    tt = min(run_tern() for _ in range(2))
+    return {
+        "metric": "ternary_vit_so400m_images_per_s",
+        "value": round(batch / tt, 2),
+        "unit": "images/s",
+        "vs_baseline": round(td / tt, 3),
+        "note": f"batch {batch}, 378px, 27 layers; vs bf16 dense tower",
+    }
+
+
+def config4_int8kv_decode():
+    """Flagship decode with INT8 KV cache (vs the bf16-cache number that
+    bench.py records)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.serve.decode import decode_loop, prefill
+
+    cfg = phi.MOONDREAM_PHI_CONFIG
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_hidden_layers + 2)
+
+    def mk(k, kdim, ndim):
+        return {
+            "packed": pack_ternary(jax.random.normal(k, (kdim, ndim))),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": mk(ks[0], d, 3 * d),
+                "out_proj": mk(ks[1], d, d),
+                "fc1": mk(ks[2], d, f),
+                "fc2": mk(ks[3], f, d),
+            }
+        )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": {
+                "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+                "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+            },
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0)
+    specs = phi.freeze_specs(
+        tuple({n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers))
+    )
+    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, 64, d)) * 0.1).astype(jnp.bfloat16)
+    steps = 128
+
+    def run():
+        cache = phi.init_cache(cfg, 1, 1024, "int8")
+        jax.block_until_ready(cache)
+        logits, cache = prefill(params, cfg, specs, cache, emb)
+        first = jnp.argmax(logits[:, 63], axis=-1).astype(jnp.int32)
+        first.block_until_ready()
+        t0 = time.perf_counter()
+        tokens, n, cache = decode_loop(
+            params, cfg, specs, cache, first, jnp.int32(64), max_steps=steps, eos_id=-1
+        )
+        np.asarray(tokens)
+        return time.perf_counter() - t0
+
+    run()
+    dt = min(run() for _ in range(2))
+    return {
+        "metric": "ternary_phi24_int8kv_decode_tokens_per_s",
+        "value": round(steps / dt, 2),
+        "unit": "tokens/s",
+        "vs_baseline": None,
+        "note": "flagship decode with int8 KV cache (fused int8 decode attention)",
+    }
+
+
+CONFIGS = {
+    "1_single_linear": config1_single_linear,
+    "3_vit_throughput": config3_vit_throughput,
+    "4_int8kv_decode": config4_int8kv_decode,
+}
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    results = []
+    for name, fn in CONFIGS.items():
+        if only and only != name:
+            continue
+        try:
+            t0 = time.time()
+            rec = fn()
+            rec["config"] = name
+            log(f"{name}: done in {time.time()-t0:.0f}s")
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            log(f"{name}: FAILED {e}")
+    if not only and results:
+        with open("BENCHMARKS.md", "w") as f:
+            f.write("# Extra benchmark results (TPU v5e, 1 chip)\n\n")
+            f.write("| config | metric | value | unit | vs_baseline | note |\n|---|---|---|---|---|---|\n")
+            for r in results:
+                f.write(
+                    f"| {r['config']} | {r['metric']} | {r['value']} | {r['unit']} | "
+                    f"{r.get('vs_baseline')} | {r.get('note','')} |\n"
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ class Request:
     max_new_tokens: int = 64
     eos_id: int = -1
     request_id: int = 0
+    on_token: Optional[Callable[[int, "Request"], None]] = None  # streaming cb
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -115,11 +116,20 @@ class Engine:
 
     # -- public API ---------------------------------------------------------
 
-    def add_request(self, prompt_embeds, max_new_tokens: int = 64, eos_id: int = -1) -> int:
+    def add_request(
+        self,
+        prompt_embeds,
+        max_new_tokens: int = 64,
+        eos_id: int = -1,
+        on_token: Optional[Callable[[int, Request], None]] = None,
+    ) -> int:
+        """Queue a request; ``on_token(token_id, request)`` streams each token
+        as it is produced (called from ``step`` on the host)."""
         req = Request(
             prompt_embeds=prompt_embeds,
             max_new_tokens=max_new_tokens,
             eos_id=eos_id,
+            on_token=on_token,
             request_id=next(self._ids),
             submit_time=time.perf_counter(),
         )
@@ -159,6 +169,8 @@ class Engine:
             self.pos = self.pos.at[slot].set(t)
             req.slot = slot
             req.tokens.append(int(first))
+            if req.on_token is not None:
+                req.on_token(int(first), req)
             if int(first) == req.eos_id:
                 self._finish(req)
             else:
@@ -192,6 +204,8 @@ class Engine:
                 continue
             tok = int(nxt_host[slot])
             req.tokens.append(tok)
+            if req.on_token is not None:
+                req.on_token(tok, req)
             if (
                 tok == req.eos_id
                 or len(req.tokens) >= req.max_new_tokens

@@ -41,3 +41,19 @@ class MetricLogger:
     def close(self):
         if self.use_wandb:
             self._wandb.finish()
+
+
+def gradient_statistics(grads) -> dict:
+    """min / max / abs-mean over a gradient pytree (parity with the
+    reference's unused helper, ``utils/model.py:4-27``)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [g for g in jax.tree_util.tree_leaves(grads) if hasattr(g, "dtype")]
+    if not leaves:
+        return {"min": 0.0, "max": 0.0, "abs_mean": 0.0}
+    gmin = min(float(jnp.min(g)) for g in leaves)
+    gmax = max(float(jnp.max(g)) for g in leaves)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+    count = sum(g.size for g in leaves)
+    return {"min": gmin, "max": gmax, "abs_mean": total / max(count, 1)}
