@@ -99,22 +99,32 @@ def config3_vit_throughput():
         np.asarray(f(imgs))[0, 0, :2]
         return time.perf_counter() - t0
 
-    # quantize+pack every block linear
-    qparams = jax.tree_util.tree_map(lambda x: x, params)
+    # quantize+pack every block linear — HOST-side via the native C++ library
+    # (108 on-device calibrations would cost minutes of dispatch RPC here)
+    from ternary_vllm_tpu.ops import native_pack
+
     qspecs = []
     spec = LinearSpec(kind="packed", mode="ternary", clip_val=100.0)
     new_layers = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         nl = dict(layer)
         for name in vision.VIT_QUANT_LINEARS:
-            latent, scale = calibrate_ternary(layer[name]["w"].astype(jnp.float32))
+            w_host = np.asarray(layer[name]["w"], np.float32)
+            latent, scale = native_pack.calibrate_ternary_native(w_host)
+            k = latent.shape[0]
+            kp = ((k + 511) // 512) * 512  # pad K so S is lane-aligned
+            if kp != k:
+                latent = np.concatenate(
+                    [latent, np.zeros((kp - k, latent.shape[1]), np.float32)], axis=0
+                )
             nl[name] = {
-                "packed": pack_ternary(latent),
-                "scale": scale,
+                "packed": jnp.asarray(native_pack.pack_ternary_native(latent)),
+                "scale": jnp.asarray(scale),
                 "b": layer[name]["b"],
             }
         new_layers.append(nl)
         qspecs.append({n: spec for n in vision.VIT_QUANT_LINEARS})
+        log(f"  vit layer {li} packed")
     qparams = dict(params)
     qparams["layers"] = new_layers
     qspecs = tuple(qspecs)

@@ -1,0 +1,76 @@
+"""Eval CLI: FP-vs-quantized loss/perplexity comparison (the BASELINE
+accuracy-gate, ``BASELINE.md``: <=1% drop at same bit-width).
+
+    python -m ternary_vllm_tpu.cli.eval --tiny --quantization ternary
+    python -m ternary_vllm_tpu.cli.eval --checkpoint model.safetensors \
+        --tokens tokens.npy --gate 0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ternary_vllm_tpu.eval.perplexity import compare_quantization
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.quant.quantize import QuantConfig
+from ternary_vllm_tpu.utils.scripting import get_var
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tokens", default=None, help=".npy int array (N, T) of eval tokens")
+    p.add_argument("--quantization", default="ternary",
+                   choices=["ternary", "binary", "binary01", "smoothBinary"])
+    p.add_argument("--start-skip", type=int, default=0)
+    p.add_argument("--last-skip", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--gate", type=float, default=None,
+                   help="fail (exit 1) if relative ppl increase exceeds this")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+    for name in vars(args):
+        setattr(args, name, get_var(name, args))
+
+    config = phi.TINY_PHI_CONFIG if args.tiny else phi.MOONDREAM_PHI_CONFIG
+    if args.checkpoint:
+        from ternary_vllm_tpu.convert.torch_import import load_safetensors_params
+
+        params = load_safetensors_params(args.checkpoint, config)
+    else:
+        print("no --checkpoint: random init (pipeline validation mode)")
+        params = phi.init_phi_params(jax.random.PRNGKey(0), config)
+
+    if args.tokens:
+        ids = np.load(args.tokens)
+    else:
+        ids = np.random.default_rng(0).integers(0, config.vocab_size, (8, 32))
+    batches = [
+        {
+            "input_ids": jnp.asarray(ids[i : i + args.batch_size]),
+            "labels": jnp.asarray(ids[i : i + args.batch_size]),
+        }
+        for i in range(0, len(ids), args.batch_size)
+    ]
+
+    qc = QuantConfig(
+        quantization=args.quantization,
+        start_skip=args.start_skip,
+        last_skip=args.last_skip,
+    )
+    rep = compare_quantization(params, config, batches, qc)
+    for k, v in rep.items():
+        print(f"{k:20s} {v:.6f}")
+    if args.gate is not None and rep["rel_ppl_increase"] > args.gate:
+        print(f"FAIL: rel ppl increase {rep['rel_ppl_increase']:.4f} > gate {args.gate}")
+        sys.exit(1)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
