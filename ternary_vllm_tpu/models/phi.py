@@ -91,6 +91,11 @@ class LinearSpec:
 
 DENSE = LinearSpec()
 
+#: profiling hook (tests/benchmarks only): when True, decoder layers skip
+#: rope/cache/attention and feed ln(x) straight into out_proj — isolates the
+#: quantized-matmul cost from the attention path in ablations.
+_DEBUG_SKIP_ATTENTION = False
+
 #: names of the quantizable linears inside one decoder layer
 QUANT_LINEARS = ("wqkv", "out_proj", "fc1", "fc2")
 
@@ -335,6 +340,13 @@ def _decoder_layer(
     fused = "in_proj" in spec
 
     hidden = _layer_norm(p["ln"], x, config.layer_norm_eps)
+
+    if _DEBUG_SKIP_ATTENTION and not fused:
+        qkv = apply_linear(spec["wqkv"], p["wqkv"], hidden)
+        attn = apply_linear(spec["out_proj"], p["out_proj"], hidden + 0.0 * qkv[..., :d])
+        mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
+        mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
+        return attn + mlp + x, kv
 
     if fused:
         # one kernel for [Wqkv | fc1]; gelu on the fc1 half via act_split
