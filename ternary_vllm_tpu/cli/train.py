@@ -106,12 +106,30 @@ def main(argv=None):
     step_fn = make_train_step(config, specs, tc, tx)
     logger = MetricLogger("qat-train", use_wandb=args.use_wandb)
 
+    from ternary_vllm_tpu.eval.perplexity import evaluate_loss
+
+    val_ids = jnp.asarray(rng.integers(0, config.vocab_size, (args.batch_size, 64)))
+    val_batch = {"input_ids": val_ids, "labels": val_ids}
+
     t0 = time.time()
     for step in range(total_steps):
         ids = jnp.asarray(rng.integers(0, config.vocab_size, (args.batch_size, 64)))
         params, opt_state, metrics = step_fn(params, opt_state, {"input_ids": ids, "labels": ids})
-        logger.log(step, loss=float(metrics["loss"]))
-        print(f"step {step}: loss {float(metrics['loss']):.4f}", flush=True)
+        extra = {}
+        if args.val_every and (step + 1) % args.val_every == 0:
+            # periodic val loss + sample generation (reference train.py:310-322)
+            extra["val_loss"] = evaluate_loss(params, config, specs, [val_batch])
+            from ternary_vllm_tpu.serve.decode import Decoder
+
+            dec = Decoder(params, config, specs, max_len=64)
+            emb = phi.embed_tokens(params, val_ids[:1, :4]).astype(jnp.float32)
+            sample, _, _ = dec.generate(emb, max_new_tokens=8)
+            print(f"  sample tokens: {np.asarray(sample)[0].tolist()}")
+        logger.log(step, loss=float(metrics["loss"]), **extra)
+        msg = f"step {step}: loss {float(metrics['loss']):.4f}"
+        if "val_loss" in extra:
+            msg += f"  val {extra['val_loss']:.4f}"
+        print(msg, flush=True)
     print(f"trained {total_steps} steps in {time.time()-t0:.1f}s")
 
     from ternary_vllm_tpu.convert.export import save_checkpoint
