@@ -143,8 +143,10 @@ def config3_vit_throughput():
     )
 
     def run_dense():
+        log("  dense: compiling")
         f = jax.jit(lambda im: vision.image_embeddings(params, vc, im))
         jax.block_until_ready(f(imgs))
+        log("  dense: compiled")
         t0 = time.perf_counter()
         np.asarray(f(imgs))[0, 0, :2]
         return time.perf_counter() - t0
@@ -180,8 +182,10 @@ def config3_vit_throughput():
     qspecs = tuple(qspecs)
 
     def run_tern():
+        log("  tern: compiling")
         f = jax.jit(lambda im: vision.image_embeddings(qparams, vc, im, qspecs))
         jax.block_until_ready(f(imgs))
+        log("  tern: compiled")
         t0 = time.perf_counter()
         np.asarray(f(imgs))[0, 0, :2]
         return time.perf_counter() - t0
