@@ -532,16 +532,38 @@ def quantized_matmul(
     if use_pallas:
         sub = 16 if dt == jnp.bfloat16 else 8
         bm = 128 if m >= 128 else ((m + sub - 1) // sub) * sub
-        bn = _pick_block(n, (512, 256, 128))
+        # large tiles amortize per-tile DMA latency (decode is tile-latency
+        # sensitive); cap tile bytes so double-buffered VMEM stays modest
         if fmt == "q4":
             bs = _pick_block(s, (1024, 512, 256, 128, 64))
+            bn = _pick_block(n, (2048, 1024, 512, 256, 128))
             out = _q4_matmul_pallas(
                 x2, packed, scale2, bias2,
                 clip_val=clip_val, act=act, out_dtype=dt,
                 bm=bm, bn=bn, bs=bs,
             )
         else:
-            bs = _pick_block(s, (512, 256, 128))
+            # Tile choice: PREFER full-width tiles (bn == n) — a (bs, n) tile
+            # of the row-major packed array is one CONTIGUOUS DMA, which
+            # streams at full HBM rate; narrower tiles are strided reads.
+            # VMEM budget: 2x packed tile (double buffer) + f32 acc + bf16
+            # out + resident x block must stay well under 16 MB.
+            cap_packed = 2 * 1024 * 1024
+            cap_accout = 4 * 1024 * 1024
+            bs, bn = None, None
+            for cand_n in (n, 4096, 2048, 1024, 512, 256, 128):
+                if cand_n > n or n % cand_n or bm * cand_n * 6 > cap_accout:
+                    continue
+                cand_s = next(
+                    (c for c in (1024, 512, 256, 128)
+                     if s % c == 0 and c * cand_n <= cap_packed),
+                    None,
+                )
+                if cand_s is not None:
+                    bs, bn = cand_s, cand_n
+                    break
+            if bs is None:
+                bs, bn = _pick_block(s, (512, 256, 128)), 128
             out = _packed_matmul_pallas(
                 x2, packed, scale2, bias2,
                 mode=mode, clip_val=clip_val, act=act, out_dtype=dt,
