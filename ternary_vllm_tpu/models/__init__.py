@@ -1,3 +1,4 @@
+from ternary_vllm_tpu.models import phi, phi_tp, vision, vlm
 from ternary_vllm_tpu.models.phi import (
     PhiConfig,
     MOONDREAM_PHI_CONFIG,

@@ -3,8 +3,11 @@ from ternary_vllm_tpu.ops.packing import (
     unpack_ternary,
     pack_binary,
     unpack_binary,
+    pack_q4,
+    unpack_q4,
     packed_ternary_shape,
     packed_binary_shape,
+    packed_q4_shape,
     TERNARY_PLANES,
     BINARY_PLANES,
 )
@@ -20,7 +23,13 @@ from ternary_vllm_tpu.ops.ternary_matmul import (
     ternary_matmul,
     binary_matmul,
     quantized_matmul,
+    dual_ternary_matmul,
 )
+from ternary_vllm_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_int8,
+)
+from ternary_vllm_tpu.ops.prefill_attention import prefill_attention
 
 __all__ = [
     "pack_ternary",
@@ -37,7 +46,14 @@ __all__ = [
     "sign_ste_sat",
     "step_ste_sat",
     "tri_step_ste_sat",
+    "pack_q4",
+    "unpack_q4",
+    "packed_q4_shape",
     "ternary_matmul",
     "binary_matmul",
     "quantized_matmul",
+    "dual_ternary_matmul",
+    "decode_attention",
+    "decode_attention_int8",
+    "prefill_attention",
 ]

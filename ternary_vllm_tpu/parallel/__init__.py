@@ -5,6 +5,14 @@ from ternary_vllm_tpu.parallel.sharding import (
     shard_params,
     shard_cache,
 )
+from ternary_vllm_tpu.parallel.tp import (
+    pack_ternary_sharded,
+    pack_binary_sharded,
+    tp_quantized_matmul_row,
+    tp_quantized_matmul_col,
+)
+from ternary_vllm_tpu.parallel.ring_attention import ring_attention
+from ternary_vllm_tpu.parallel.multihost import init_multihost, hybrid_mesh
 
 __all__ = [
     "make_mesh",
@@ -12,4 +20,11 @@ __all__ = [
     "cache_specs",
     "shard_params",
     "shard_cache",
+    "pack_ternary_sharded",
+    "pack_binary_sharded",
+    "tp_quantized_matmul_row",
+    "tp_quantized_matmul_col",
+    "ring_attention",
+    "init_multihost",
+    "hybrid_mesh",
 ]
