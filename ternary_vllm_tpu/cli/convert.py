@@ -30,6 +30,10 @@ def parse_args(argv=None):
     # the reference's kernel variants {continuous,tf,matmul,unpack} map to our
     # dispatch choices (convert.py:33): pallas = fused kernel, xla = unpack+dot
     p.add_argument("--variant", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--fmt", default="q2", choices=["q2", "q4"],
+                   help="packed storage: q2 (2-bit, memory-optimal) or q4 (nibble int4)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse each layer's 4 matmuls into 2 kernels (q2 only)")
     p.add_argument("--start-skip", type=int, default=0)
     p.add_argument("--last-skip", type=int, default=0)
     p.add_argument("--export-signatures", action="store_true")
@@ -58,7 +62,13 @@ def main(argv=None):
         last_skip=args.last_skip,
     )
     qat, qspecs = quantize_decoder_params(params, config, qc)
-    packed, pspecs = pack_decoder_params(qat, qspecs)
+    packed, pspecs = pack_decoder_params(
+        qat, qspecs, k_multiple=4 if args.tiny else 512, fmt=args.fmt
+    )
+    if args.fuse:
+        from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
+
+        packed, pspecs = fuse_packed_decoder_params(packed, pspecs)
     if args.variant != "auto":
         pspecs = tuple(
             {n: (phi.LinearSpec(kind=s.kind, mode=s.mode, clip_val=s.clip_val, impl=args.variant)

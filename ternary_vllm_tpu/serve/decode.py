@@ -130,7 +130,13 @@ class Decoder:
     ) -> Tuple[jnp.ndarray, int, dict]:
         """prompt_embeds (B, T, D) → (tokens (B, n), n_valid, timing dict)."""
         b, t, _ = prompt_embeds.shape
+        if t + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({t}) + max_new_tokens ({max_new_tokens}) exceeds "
+                f"cache capacity max_len={self.max_len}"
+            )
         tb = _bucket(t, buckets=tuple(x for x in (32, 64, 128, 256, 512, 1024, 2048) if x <= self.max_len) or (self.max_len,))
+        tb = min(tb, self.max_len)
         if tb > t:
             prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, tb - t), (0, 0)))
         cache = self.new_cache(b)
