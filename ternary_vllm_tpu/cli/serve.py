@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--eos-id", type=int, default=-1)
+    p.add_argument("--burst", type=int, default=8,
+                   help="fused decode steps per engine scheduling point")
     args = p.parse_args(argv)
     for name in vars(args):
         setattr(args, name, get_var(name, args))
@@ -57,7 +59,8 @@ def main(argv=None):
         from ternary_vllm_tpu.serve.engine import Engine
 
         eng = Engine(params, config, specs, max_batch=args.max_batch,
-                     max_len=args.max_len, temperature=args.temperature)
+                     max_len=args.max_len, temperature=args.temperature,
+                     burst=args.burst)
         for _ in range(args.requests):
             ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
             eng.add_request(phi.embed_tokens(params, ids),

@@ -68,6 +68,37 @@ def _install_slot(params, ks, vs, cache, slot):
     return new_cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "specs", "temperature", "n_steps"),
+    donate_argnums=(3,),
+)
+def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, active, eos_ids, n_steps):
+    """``n_steps`` fused decode iterations over all slots — one dispatch per
+    burst instead of per token (host round-trips dominate short steps on
+    remote-attached TPUs).  Slots stop advancing once they emit their eos.
+
+    Returns (token_matrix (B, n_steps), cache, new_pos)."""
+    b = tokens.shape[0]
+    from ternary_vllm_tpu.serve.sampling import sample_token
+
+    def body(carry, _):
+        tok, cache, pos, act, k = carry
+        embeds = phi.embed_tokens(params, tok[:, None])
+        logits, cache = phi.forward(params, config, specs, embeds, cache, pos)
+        k, sub = jax.random.split(k)
+        nxt = sample_token(logits[:, -1], sub, temperature=temperature)
+        nxt = jnp.where(act, nxt, tok)
+        pos = jnp.where(act, pos + 1, pos)
+        act = jnp.logical_and(act, nxt != eos_ids)
+        return (nxt, cache, pos, act, k), nxt
+
+    (tok, cache, pos, act, _), toks = jax.lax.scan(
+        body, (tokens, cache, pos, active, key), None, length=n_steps
+    )
+    return toks.T, cache, pos  # (B, n_steps)
+
+
 @partial(jax.jit, static_argnames=("config", "specs", "temperature"), donate_argnums=(3,))
 def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, active):
     """One batched decode step over all slots.
@@ -97,6 +128,7 @@ class Engine:
         temperature: float = 0.0,
         seed: int = 0,
         buckets=(32, 64, 128, 256, 512, 1024),
+        burst: int = 1,
     ):
         self.params = params
         self.config = config
@@ -104,6 +136,7 @@ class Engine:
         self.max_batch = max_batch
         self.max_len = max_len
         self.temperature = temperature
+        self.burst = burst  # fused decode steps per scheduling point
         self.buckets = tuple(b for b in buckets if b <= max_len)
         self.cache = phi.init_cache(config, max_batch, max_len, jnp.bfloat16)
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
@@ -185,30 +218,50 @@ class Engine:
         self.completed.append(req)
 
     def step(self):
-        """One engine iteration: admit new work, then one batched decode."""
+        """One engine iteration: admit new work, then one batched decode
+        (``burst`` fused steps when safe — amortizes the host round-trip)."""
         self._admit()
         active_list = [s is not None for s in self.slots]
         if not any(active_list):
             return
         active = jnp.asarray(active_list)
         self.key, sub = jax.random.split(self.key)
-        nxt, self.cache, self.pos = _decode_step(
-            self.params, self.config, self.specs, self.cache,
-            self.tokens, self.pos, sub, self.temperature, active,
+
+        pos_host = np.asarray(self.pos)
+        max_active_pos = max(
+            (int(pos_host[i]) for i, a in enumerate(active_list) if a), default=0
         )
-        self.tokens = nxt
-        nxt_host = np.asarray(nxt)
+        n_steps = min(self.burst, self.max_len - 1 - max_active_pos)
+        if n_steps > 1:
+            eos_ids = jnp.asarray(
+                [r.eos_id if r is not None else -2 for r in self.slots], jnp.int32
+            )
+            toks, self.cache, self.pos = _decode_burst(
+                self.params, self.config, self.specs, self.cache,
+                self.tokens, self.pos, sub, self.temperature, active, eos_ids,
+                n_steps=n_steps,
+            )
+            self.tokens = toks[:, -1]
+            toks_host = np.asarray(toks)
+        else:
+            nxt, self.cache, self.pos = _decode_step(
+                self.params, self.config, self.specs, self.cache,
+                self.tokens, self.pos, sub, self.temperature, active,
+            )
+            self.tokens = nxt
+            toks_host = np.asarray(nxt)[:, None]
+
         pos_host = np.asarray(self.pos)
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            tok = int(nxt_host[slot])
-            req.tokens.append(tok)
-            if req.on_token is not None:
-                req.on_token(tok, req)
-            if (
-                tok == req.eos_id
-                or len(req.tokens) >= req.max_new_tokens
-                or int(pos_host[slot]) >= self.max_len - 1
-            ):
+            for k in range(toks_host.shape[1]):
+                tok = int(toks_host[slot, k])
+                req.tokens.append(tok)
+                if req.on_token is not None:
+                    req.on_token(tok, req)
+                if tok == req.eos_id or len(req.tokens) >= req.max_new_tokens:
+                    self._finish(req)
+                    break
+            if not req.done and int(pos_host[slot]) >= self.max_len - 1:
                 self._finish(req)
