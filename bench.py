@@ -75,19 +75,27 @@ def worker(kind: str, batch: int) -> None:
                 "fc2": mk(ks[3], f, d),
             }
         )
+    head_linear = rand_dense_linear(keys[-1], d, cfg.vocab_size)
+    if kind == "packed":
+        # flagship also quantizes the lm_head to int8 (w8a8): the bf16 vocab
+        # projection otherwise dominates the decode step's fixed cost
+        from ternary_vllm_tpu.quant.quantize import quantize_linear_int8
+
+        head_linear = quantize_linear_int8(head_linear)
     params = {
         "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
         "layers": layers,
         "lm_head": {
             "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
-            "linear": rand_dense_linear(keys[-1], d, cfg.vocab_size),
+            "linear": head_linear,
         },
     }
     jax.block_until_ready(params)
     log(f"[worker {kind}] params built")
 
     if kind == "packed":
-        spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0)
+        # a8: int8-activation (w2a8) kernel — int8-MXU unpack path
+        spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
         specs = phi.freeze_specs(
             tuple({n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers))
         )

@@ -83,6 +83,7 @@ class LinearSpec:
     clip_val: Optional[float] = 100.0
     impl: str = "auto"  # kernel dispatch for packed
     fmt: str = "q2"  # packed storage: q2 (bit-planes) | q4 (nibble int4)
+    a8: bool = False  # packed only: int8-quantized activations (w2a8 kernel)
 
     def __post_init__(self):
         if self.kind not in ("dense", "qat", "packed"):
@@ -257,6 +258,7 @@ def apply_linear(spec: LinearSpec, p: Dict[str, Any], x, act: Optional[str] = No
         act=act,
         impl=spec.impl,
         fmt=spec.fmt,
+        a8=spec.a8,
     )
 
 
@@ -503,9 +505,18 @@ def embed_tokens(params, input_ids):
 
 
 def lm_head(params, hidden, config: PhiConfig):
-    """Final LN + vocab projection (reference ``layers.py:363-373``)."""
+    """Final LN + vocab projection (reference ``layers.py:363-373``).
+
+    If the linear was converted with ``quant.quantize.quantize_linear_int8``
+    (params carry ``w_q`` instead of ``w``), uses the w8a8 int8 kernel — the
+    bf16 vocab projection otherwise dominates the decode step's fixed cost."""
     h = _layer_norm(params["lm_head"]["ln"], hidden, config.layer_norm_eps)
-    return apply_linear(DENSE, params["lm_head"]["linear"], h)
+    lin = params["lm_head"]["linear"]
+    if "w_q" in lin:
+        from ternary_vllm_tpu.ops.ternary_matmul import int8_matmul
+
+        return int8_matmul(h, lin["w_q"], lin["scale"], lin.get("b"))
+    return apply_linear(DENSE, lin, h)
 
 
 def forward(

@@ -24,6 +24,8 @@ from ternary_vllm_tpu.ops.ternary_matmul import (
     binary_matmul,
     quantized_matmul,
     dual_ternary_matmul,
+    int8_matmul,
+    quantize_activations,
 )
 from ternary_vllm_tpu.ops.decode_attention import (
     decode_attention,
@@ -53,6 +55,8 @@ __all__ = [
     "binary_matmul",
     "quantized_matmul",
     "dual_ternary_matmul",
+    "int8_matmul",
+    "quantize_activations",
     "decode_attention",
     "decode_attention_int8",
     "prefill_attention",

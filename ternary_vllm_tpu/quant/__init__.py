@@ -6,6 +6,8 @@ from ternary_vllm_tpu.quant.calibrate import (
 from ternary_vllm_tpu.quant.quantize import (
     QuantConfig,
     quantize_decoder_params,
+    quantize_linear_int8,
+    quantize_lm_head_int8,
     size_report,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "calibrate_linear",
     "QuantConfig",
     "quantize_decoder_params",
+    "quantize_linear_int8",
+    "quantize_lm_head_int8",
     "size_report",
 ]

@@ -85,7 +85,31 @@ def quantize_decoder_params(params, config: PhiConfig, qc: QuantConfig):
     return out, tuple(specs)
 
 
-def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2"):
+def quantize_linear_int8(p):
+    """Dense linear params ``{"w", "b"}`` → w8 params ``{"w_q", "scale", "b"}``
+    (per-output-channel symmetric absmax int8).  Used for the lm_head, which
+    the reference never quantizes (``binary/utils.py:14``) but whose bf16
+    vocab projection dominates the decode step's fixed cost on TPU."""
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_lm_head_int8(params):
+    """Return params with the lm_head linear converted to int8 (w8a8 path)."""
+    out = dict(params)
+    lm = dict(params["lm_head"])
+    lm["linear"] = quantize_linear_int8(params["lm_head"]["linear"])
+    out["lm_head"] = lm
+    return out
+
+
+def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2", a8: bool = False):
     """QAT params → (packed params, packed specs) for inference.
 
     Latent weights are hard-quantized with the spec's STE forward (sign /
@@ -93,7 +117,8 @@ def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2"):
     with SteTern(0.5) before packing, ``utils/conversion.py:44-93``) and
     bit-packed with K padded to ``k_multiple`` so S stays lane-aligned for the
     Pallas kernel.  ``fmt="q4"`` (ternary only) selects the nibble-int4
-    throughput format (see ``ops/packing.py``)."""
+    throughput format (see ``ops/packing.py``).  ``a8=True`` marks the specs
+    for the int8-activation (w2a8) kernel — fastest decode path (q2 only)."""
     new_layers, new_specs = [], []
     for layer, spec in zip(params["layers"], specs):
         new_layer = {"ln": layer["ln"]}
@@ -124,7 +149,8 @@ def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2"):
                     packed = pack_binary(w, zero_one=(s.mode == "binary01"))
                 new_layer[name] = {"packed": packed, "scale": scale, "b": p["b"]}
                 new_spec[name] = LinearSpec(
-                    kind="packed", mode=s.mode, clip_val=s.clip_val, fmt=use_fmt
+                    kind="packed", mode=s.mode, clip_val=s.clip_val, fmt=use_fmt,
+                    a8=a8 and use_fmt == "q2",
                 )
             else:
                 new_layer[name] = p

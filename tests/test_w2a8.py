@@ -1,0 +1,182 @@
+"""w2a8 (int8-activation packed matmul) + w8a8 (int8 lm_head) paths.
+
+The Pallas kernels use `pltpu.bitcast` + int8 MXU dots, which don't exist in
+interpret mode — CPU tests exercise the bit-exact XLA fallback (same integer
+arithmetic); TPU-marked tests assert kernel == fallback exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.ops.packing import pack_binary, pack_ternary
+from ternary_vllm_tpu.ops.ternary_matmul import (
+    int8_matmul,
+    quantize_activations,
+    quantized_matmul,
+)
+from ternary_vllm_tpu.quant.quantize import (
+    quantize_linear_int8,
+    quantize_lm_head_int8,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _ref_w2a8(x, w, scale, clip=100.0):
+    """Reference math: per-row int8 quantization then exact integer matmul."""
+    xf = np.asarray(x, np.float32)
+    amax = np.maximum(np.abs(xf).max(axis=-1, keepdims=True), 1e-6)
+    xs = amax / 127.0
+    xq = np.clip(np.round(xf / xs), -127, 127).astype(np.int32)
+    acc = xq @ np.asarray(w, np.int32)
+    out = acc.astype(np.float32) * xs * np.asarray(scale, np.float32)[None, :]
+    return np.clip(out, -clip, clip)
+
+
+@pytest.mark.parametrize("mode", ["ternary", "binary", "binary01"])
+def test_w2a8_fallback_matches_reference_math(mode):
+    rng = np.random.default_rng(0)
+    K, N = 256, 128
+    if mode == "ternary":
+        w = rng.integers(-1, 2, (K, N)).astype(np.float32)
+        packed = pack_ternary(jnp.asarray(w))
+    else:
+        latent = np.where(rng.random((K, N)) < 0.5, -1.0, 1.0).astype(np.float32)
+        packed = pack_binary(jnp.asarray(latent), zero_one=(mode == "binary01"))
+        w = (latent >= 0).astype(np.float32) if mode == "binary01" else latent
+    scale = rng.uniform(0.5, 1.5, (N,)).astype(np.float32)
+    x = rng.normal(0, 1, (3, K)).astype(np.float32)
+
+    got = quantized_matmul(
+        jnp.asarray(x), packed, mode=mode, scale=jnp.asarray(scale),
+        clip_val=100.0, a8=True, impl="xla",
+    )
+    want = _ref_w2a8(x, w, scale)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=1e-5, atol=1e-5)
+
+
+def test_w2a8_close_to_bf16_path():
+    """a8 quantization noise stays ~2^-8 relative on realistic magnitudes."""
+    rng = np.random.default_rng(1)
+    K, N = 512, 256
+    w = rng.integers(-1, 2, (K, N)).astype(np.float32)
+    packed = pack_ternary(jnp.asarray(w))
+    scale = rng.uniform(0.5, 1.5, (N,)).astype(np.float32)
+    x = rng.normal(0, 1, (2, K)).astype(np.float32)
+    a8 = quantized_matmul(jnp.asarray(x), packed, mode="ternary",
+                          scale=jnp.asarray(scale), a8=True, impl="xla")
+    fp = quantized_matmul(jnp.asarray(x), packed, mode="ternary",
+                          scale=jnp.asarray(scale), impl="xla")
+    rms = float(np.sqrt(np.mean(np.square(np.asarray(fp, np.float32)))))
+    rel = np.max(np.abs(np.asarray(a8, np.float32) - np.asarray(fp, np.float32))) / rms
+    assert rel < 0.05, rel
+
+
+def test_w2a8_act_split_gelu_half():
+    rng = np.random.default_rng(2)
+    K, N, split = 256, 256, 128
+    w = rng.integers(-1, 2, (K, N)).astype(np.float32)
+    packed = pack_ternary(jnp.asarray(w))
+    scale = rng.uniform(0.5, 1.5, (N,)).astype(np.float32)
+    x = rng.normal(0, 1, (2, K)).astype(np.float32)
+    got = quantized_matmul(
+        jnp.asarray(x), packed, mode="ternary", scale=jnp.asarray(scale),
+        a8=True, impl="xla", act="gelu_new", act_split=split,
+    )
+    plain = _ref_w2a8(x, w, scale)
+    want = plain.copy()
+    g = jax.nn.gelu(jnp.asarray(plain[:, split:]), approximate=True)
+    want[:, split:] = np.asarray(g)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_activations_roundtrip():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 2, (4, 64)), jnp.float32)
+    xq, xs = quantize_activations(x)
+    assert xq.dtype == jnp.int8 and xs.shape == (4, 1)
+    recon = np.asarray(xq, np.float32) * np.asarray(xs)
+    np.testing.assert_allclose(recon, np.asarray(x), atol=float(np.max(np.asarray(xs))) / 2 + 1e-6)
+
+
+def test_int8_matmul_fallback():
+    rng = np.random.default_rng(4)
+    K, N = 128, 256
+    w = rng.normal(0, 0.02, (K, N)).astype(np.float32)
+    p8 = quantize_linear_int8({"w": jnp.asarray(w), "b": jnp.zeros((N,), jnp.float32)})
+    assert p8["w_q"].dtype == jnp.int8
+    x = jnp.asarray(rng.normal(0, 1, (2, K)), jnp.float32)
+    got = int8_matmul(x, p8["w_q"], p8["scale"], p8["b"], impl="xla")
+    want = np.asarray(x) @ w
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=0.05, atol=0.02)
+
+
+def test_lm_head_int8_in_forward():
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    specs = phi.layer_specs(cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.hidden_size)) * 0.1
+    ref_logits, _ = phi.forward(params, cfg, specs, emb)
+    q = quantize_lm_head_int8(params)
+    got_logits, _ = phi.forward(q, cfg, specs, emb)
+    # int8 head: logits close; greedy tokens identical on this input
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=0.1, atol=0.05
+    )
+    assert np.array_equal(
+        np.argmax(np.asarray(got_logits), -1), np.argmax(np.asarray(ref_logits), -1)
+    )
+
+
+def test_a8_spec_through_model_forward():
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    from ternary_vllm_tpu.quant import QuantConfig, quantize_decoder_params
+    from ternary_vllm_tpu.quant.quantize import pack_decoder_params
+
+    qat, qs = quantize_decoder_params(params, cfg, QuantConfig(quantization="ternary"))
+    packed_a8, ps_a8 = pack_decoder_params(qat, qs, a8=True)
+    packed_fp, ps_fp = pack_decoder_params(qat, qs)
+    assert ps_a8[0]["wqkv"].a8 and not ps_fp[0]["wqkv"].a8
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.hidden_size)) * 0.1
+    la8, _ = phi.forward(packed_a8, cfg, ps_a8, emb)
+    lfp, _ = phi.forward(packed_fp, cfg, ps_fp, emb)
+    # same model, a8 activations: small perturbation only
+    np.testing.assert_allclose(np.asarray(la8), np.asarray(lfp), rtol=0.2, atol=0.1)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas w2a8 kernel needs a TPU")
+@pytest.mark.parametrize("mode", ["ternary", "binary"])
+def test_w2a8_pallas_bit_exact_vs_fallback(mode):
+    rng = np.random.default_rng(5)
+    K, N = 2048, 512
+    if mode == "ternary":
+        w = rng.integers(-1, 2, (K, N)).astype(np.float32)
+        packed = pack_ternary(jnp.asarray(w))
+    else:
+        w = np.where(rng.random((K, N)) < 0.5, -1.0, 1.0).astype(np.float32)
+        packed = pack_binary(jnp.asarray(w))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (N,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (1, K)), jnp.bfloat16)
+    pallas = quantized_matmul(x, packed, mode=mode, scale=scale, a8=True)
+    xla = quantized_matmul(x, packed, mode=mode, scale=scale, a8=True, impl="xla")
+    np.testing.assert_array_equal(
+        np.asarray(pallas, np.float32), np.asarray(xla, np.float32)
+    )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas w8a8 kernel needs a TPU")
+def test_w8a8_pallas_bit_exact_vs_fallback():
+    rng = np.random.default_rng(6)
+    K, N = 2048, 1024
+    w_q = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(1e-4, 1e-3, (N,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (1, K)), jnp.bfloat16)
+    pallas = int8_matmul(x, w_q, scale)
+    xla = int8_matmul(x, w_q, scale, impl="xla")
+    np.testing.assert_array_equal(
+        np.asarray(pallas, np.float32), np.asarray(xla, np.float32)
+    )
