@@ -34,6 +34,10 @@ def parse_args(argv=None):
                    help="packed storage: q2 (2-bit, memory-optimal) or q4 (nibble int4)")
     p.add_argument("--fuse", action="store_true",
                    help="fuse each layer's 4 matmuls into 2 kernels (q2 only)")
+    p.add_argument("--a8", action="store_true",
+                   help="mark specs for the int8-activation (w2a8) kernel (q2 only)")
+    p.add_argument("--int8-head", action="store_true",
+                   help="quantize the lm_head to w8a8 int8")
     p.add_argument("--start-skip", type=int, default=0)
     p.add_argument("--last-skip", type=int, default=0)
     p.add_argument("--export-signatures", action="store_true")
@@ -63,16 +67,21 @@ def main(argv=None):
     )
     qat, qspecs = quantize_decoder_params(params, config, qc)
     packed, pspecs = pack_decoder_params(
-        qat, qspecs, k_multiple=4 if args.tiny else 512, fmt=args.fmt
+        qat, qspecs, k_multiple=4 if args.tiny else 512, fmt=args.fmt, a8=args.a8
     )
     if args.fuse:
         from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
 
         packed, pspecs = fuse_packed_decoder_params(packed, pspecs)
+    if args.int8_head:
+        from ternary_vllm_tpu.quant.quantize import quantize_lm_head_int8
+
+        packed = quantize_lm_head_int8(packed)
     if args.variant != "auto":
+        import dataclasses
+
         pspecs = tuple(
-            {n: (phi.LinearSpec(kind=s.kind, mode=s.mode, clip_val=s.clip_val, impl=args.variant)
-                 if s.kind == "packed" else s)
+            {n: (dataclasses.replace(s, impl=args.variant) if s.kind == "packed" else s)
              for n, s in layer.items()}
             for layer in pspecs
         )

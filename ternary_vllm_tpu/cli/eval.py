@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--gate", type=float, default=None,
                    help="fail (exit 1) if relative ppl increase exceeds this")
+    p.add_argument("--a8", action="store_true",
+                   help="evaluate the int8-activation (w2a8) kernel path")
+    p.add_argument("--int8-head", action="store_true",
+                   help="evaluate with the lm_head quantized to w8a8")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
     for name in vars(args):
@@ -63,7 +67,9 @@ def main(argv=None):
         start_skip=args.start_skip,
         last_skip=args.last_skip,
     )
-    rep = compare_quantization(params, config, batches, qc)
+    rep = compare_quantization(
+        params, config, batches, qc, a8=args.a8, int8_head=args.int8_head
+    )
     for k, v in rep.items():
         print(f"{k:20s} {v:.6f}")
     if args.gate is not None and rep["rel_ppl_increase"] > args.gate:

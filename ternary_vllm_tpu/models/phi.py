@@ -364,6 +364,7 @@ def _decoder_layer(
             act=config.hidden_act,
             act_split=3 * d,
             impl=spec["in_proj"].impl,
+            a8=spec["in_proj"].a8,
         )
         qkv, mlp_hidden = both[..., : 3 * d], both[..., 3 * d :]
     else:

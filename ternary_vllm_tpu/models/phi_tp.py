@@ -31,7 +31,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ternary_vllm_tpu.models import phi
@@ -149,9 +149,12 @@ def shard_tp_cache(cache, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis):
+def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis, a8=False):
     """Per-shard layer body: local heads + partial row-parallel outputs,
-    ONE psum."""
+    ONE psum.  ``a8`` selects the int8-activation (w2a8) kernel per shard —
+    activations are quantized locally per row; row-parallel partials stay
+    exact in int32 before dequantization, so the psum semantics are
+    unchanged."""
     b, t, d = x.shape
     hd = config.head_dim
 
@@ -159,6 +162,7 @@ def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis):
     qkv = quantized_matmul(
         hidden, p["wqkv"]["packed"], mode="ternary",
         scale=p["wqkv"]["scale"], bias=p["wqkv"]["b"], clip_val=clip_val,
+        a8=a8,
     )
     # local layout: [q_loc | k_loc | v_loc] of this shard's heads
     dl = h_loc * hd
@@ -185,14 +189,16 @@ def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis):
 
     # row-parallel partials, NO bias/clip yet (they apply post-reduction)
     attn_part = quantized_matmul(
-        attn, p["out_proj"]["packed"], mode="ternary", clip_val=None
+        attn, p["out_proj"]["packed"], mode="ternary", clip_val=None, a8=a8
     )
     mlp_h = quantized_matmul(
         hidden, p["fc1"]["packed"], mode="ternary",
         scale=p["fc1"]["scale"], bias=p["fc1"]["b"], clip_val=clip_val,
-        act=config.hidden_act,
+        act=config.hidden_act, a8=a8,
     )
-    mlp_part = quantized_matmul(mlp_h, p["fc2"]["packed"], mode="ternary", clip_val=None)
+    mlp_part = quantized_matmul(
+        mlp_h, p["fc2"]["packed"], mode="ternary", clip_val=None, a8=a8
+    )
 
     attn_full = jax.lax.psum(attn_part, axis)
     mlp_full = jax.lax.psum(mlp_part, axis)
@@ -208,9 +214,17 @@ def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis):
     return attn_o + mlp_o + x, (ck, cv)
 
 
-def make_tp_decode_step(config: phi.PhiConfig, mesh: Mesh, clip_val: float = 100.0, axis: str = "model"):
+def make_tp_decode_step(
+    config: phi.PhiConfig,
+    mesh: Mesh,
+    clip_val: float = 100.0,
+    axis: str = "model",
+    a8: bool = False,
+):
     """Build a jitted sharded step: (params, cache, embeds, pos) ->
-    (logits, cache).  ``embeds`` (B, T, D) replicated; cache head-sharded."""
+    (logits, cache).  ``embeds`` (B, T, D) replicated; cache head-sharded.
+    ``a8=True`` runs every packed matmul through the int8-activation (w2a8)
+    kernel."""
     tp = mesh.shape[axis]
     h_loc = config.num_attention_heads // tp
 
@@ -223,7 +237,7 @@ def make_tp_decode_step(config: phi.PhiConfig, mesh: Mesh, clip_val: float = 100
         x = embeds
         new_cache = []
         for p, kv in zip(params["layers"], cache):
-            x, nkv = _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis)
+            x, nkv = _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis, a8)
             new_cache.append(nkv)
         hidden = phi._layer_norm(params["lm_head"]["ln"], x, config.layer_norm_eps)
         logits_loc = (
@@ -257,7 +271,7 @@ def tp_greedy_token(logits_sharded, mesh: Mesh, axis: str = "model"):
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, axis),), out_specs=P(None),
-        check_rep=False,  # all_gather+reduce makes the result replicated
+        check_vma=False,  # all_gather+reduce makes the result replicated
     )
     def _argmax(logits_loc):
         v_loc = logits_loc.shape[-1]

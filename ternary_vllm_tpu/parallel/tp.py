@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ternary_vllm_tpu.ops.packing import pack_binary, pack_ternary
 from ternary_vllm_tpu.ops.ternary_matmul import quantized_matmul

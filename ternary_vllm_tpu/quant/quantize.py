@@ -206,8 +206,15 @@ def fuse_packed_decoder_params(params, specs):
                 },
             }
         )
-        fused_spec = LinearSpec(kind="packed", mode="ternary", clip_val=clip)
-        new_specs.append({"in_proj": fused_spec, "out2": fused_spec})
+        # a8 survives on in_proj (the w2a8 kernel supports act_split); out2's
+        # dual-accumulator kernel is bf16-activation only
+        a8_in = all(spec[n].a8 for n in QUANT_LINEARS)
+        new_specs.append(
+            {
+                "in_proj": LinearSpec(kind="packed", mode="ternary", clip_val=clip, a8=a8_in),
+                "out2": LinearSpec(kind="packed", mode="ternary", clip_val=clip),
+            }
+        )
     out = dict(params)
     out["layers"] = new_layers
     return out, tuple(new_specs)
@@ -250,14 +257,20 @@ def size_report(params, specs) -> dict:
                 )
             else:
                 n_other += sum(int(jnp.asarray(v).size) for v in jax.tree_util.tree_leaves(p))
+    n_int8 = 0
     for key in ("wte", "lm_head"):
         if key in params:
-            n_other += sum(int(v.size) for v in jax.tree_util.tree_leaves(params[key]))
-    total_bits = bits_q + n_other * 16
+            for v in jax.tree_util.tree_leaves(params[key]):
+                if v.dtype == jnp.int8:  # int8-quantized lm_head (w8a8)
+                    n_int8 += int(v.size)
+                else:
+                    n_other += int(v.size)
+    total_bits = bits_q + n_other * 16 + n_int8 * 8
     return {
         "quantized_params": n_q,
+        "int8_params": n_int8,
         "other_params": n_other,
         "quantized_bits": bits_q,
         "total_gib": total_bits / 8 / 2**30,
-        "fp16_gib": (n_q + n_other) * 2 / 2**30,
+        "fp16_gib": (n_q + n_other + n_int8) * 2 / 2**30,
     }

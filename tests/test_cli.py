@@ -43,6 +43,31 @@ def test_convert_then_serve_cli(tmp_path, capsys, monkeypatch):
     assert "3 requests" in stdout
 
 
+def test_convert_a8_int8head_artifact(tmp_path, capsys):
+    """--a8/--int8-head survive the artifact roundtrip: specs carry a8=True,
+    lm_head stores int8 w_q, and serve decodes from the loaded artifact."""
+    pytest.importorskip("orbax.checkpoint")
+    from ternary_vllm_tpu.cli.convert import main as convert_main
+    from ternary_vllm_tpu.cli.serve import main as serve_main
+    from ternary_vllm_tpu.convert.export import load_checkpoint
+
+    out = str(tmp_path / "artifact-a8")
+    convert_main([
+        "--tiny", "--quantization", "ternary", "--a8", "--int8-head", "--out", out,
+    ])
+    capsys.readouterr()
+    params, config, specs = load_checkpoint(out)
+    packed_specs = [s for layer in specs for s in layer.values() if s.kind == "packed"]
+    assert packed_specs and all(s.a8 for s in packed_specs)
+    assert params["lm_head"]["linear"]["w_q"].dtype.name == "int8"
+
+    serve_main([
+        "--artifact", out, "--prompt-len", "4", "--max-new-tokens", "4",
+        "--max-len", "32",
+    ])
+    assert "t/s" in capsys.readouterr().out
+
+
 def test_train_cli_smoke(tmp_path, capsys):
     pytest.importorskip("orbax.checkpoint")
     from ternary_vllm_tpu.cli.train import main

@@ -69,6 +69,36 @@ def test_tp_decode_matches_single_device(setup):
     assert tp_tokens == ref_toks
 
 
+def test_tp_decode_a8_close_to_single_device(setup):
+    """w2a8 TP: per-shard activation quantization (row-local absmax differs
+    from the single-device full-row absmax on row-parallel inputs), so logits
+    are close, not bit-equal."""
+    import dataclasses
+
+    mesh, qat, packed, pspecs, tp_params = setup
+    tp_sharded = phi_tp.shard_tp_params(tp_params, mesh)
+    step = phi_tp.make_tp_decode_step(CFG, mesh, a8=True)
+    cache = phi_tp.shard_tp_cache(phi.init_cache(CFG, 1, 16, jnp.float32), mesh)
+    ids = jnp.asarray([[3, 1, 4, 1, 5]])
+    emb = phi.embed_tokens(tp_params, ids)
+    logits, _ = step(tp_sharded, cache, emb, jnp.int32(0))
+
+    a8_specs = tuple(
+        {n: (dataclasses.replace(s, a8=True) if s.kind == "packed" else s)
+         for n, s in layer.items()}
+        for layer in pspecs
+    )
+    ref_cache = phi.init_cache(CFG, 1, 16, jnp.float32)
+    ref_logits, _ = phi.forward(
+        packed, CFG, a8_specs, phi.embed_tokens(packed, ids), ref_cache, 0
+    )
+    a = np.asarray(logits, np.float32)
+    b = np.asarray(ref_logits, np.float32)
+    assert np.mean(np.abs(a - b)) < 0.05 * (np.mean(np.abs(b)) + 1e-6)
+    # greedy tokens agree at the last position
+    assert int(np.argmax(a[0, -1])) == int(np.argmax(b[0, -1]))
+
+
 def test_tp_logits_close(setup):
     mesh, qat, packed, pspecs, tp_params = setup
     tp_sharded = phi_tp.shard_tp_params(tp_params, mesh)

@@ -180,3 +180,49 @@ def test_w8a8_pallas_bit_exact_vs_fallback():
     np.testing.assert_array_equal(
         np.asarray(pallas, np.float32), np.asarray(xla, np.float32)
     )
+
+
+def test_fuse_preserves_a8_on_in_proj():
+    """fuse_packed_decoder_params: a8 survives on in_proj (w2a8 supports
+    act_split); out2's dual kernel stays bf16-activation."""
+    from ternary_vllm_tpu.quant.quantize import (
+        QuantConfig,
+        fuse_packed_decoder_params,
+        pack_decoder_params,
+        quantize_decoder_params,
+    )
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg)
+    qat, qspecs = quantize_decoder_params(params, cfg, QuantConfig())
+    packed, pspecs = pack_decoder_params(qat, qspecs, k_multiple=4, a8=True)
+    fused, fspecs = fuse_packed_decoder_params(packed, pspecs)
+    assert all(s["in_proj"].a8 for s in fspecs)
+    assert not any(s["out2"].a8 for s in fspecs)
+
+    # fused-a8 forward stays close to unfused-a8 (same weights, the only
+    # difference is out2's bf16-activation second half)
+    ids = jnp.asarray([[3, 1, 4, 1]])
+    emb = phi.embed_tokens(packed, ids)
+    ref, _ = phi.forward(packed, cfg, pspecs, emb, None, 0)
+    got, _ = phi.forward(fused, cfg, fspecs, emb, None, 0)
+    a, b = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    assert np.mean(np.abs(a - b)) < 0.05 * (np.mean(np.abs(b)) + 1e-6)
+
+
+def test_compare_quantization_a8_gate():
+    """eval harness runs the a8 + int8-head path and reports finite deltas."""
+    from ternary_vllm_tpu.eval.perplexity import compare_quantization
+    from ternary_vllm_tpu.quant.quantize import QuantConfig
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16))
+    batches = [
+        {"input_ids": jnp.asarray(ids[:2]), "labels": jnp.asarray(ids[:2])},
+        {"input_ids": jnp.asarray(ids[2:]), "labels": jnp.asarray(ids[2:])},
+    ]
+    rep = compare_quantization(
+        params, cfg, batches, QuantConfig(), a8=True, int8_head=True
+    )
+    assert np.isfinite(rep["quant_loss"]) and np.isfinite(rep["rel_ppl_increase"])
