@@ -454,6 +454,7 @@ def _decoder_layer(
             o2["b2"],
             clip_val=spec["out2"].clip_val,
             impl=spec["out2"].impl,
+            a8=spec["out2"].a8,
         )
         return combined + x, new_kv
 

@@ -618,6 +618,120 @@ def _dual_matmul_pallas(
     )(x, packed, scale1, bias1, scale2, bias2)
 
 
+def _dual_w2a8_kernel(
+    xq_ref, xs1_ref, xs2_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref,
+    acc1_ref, acc2_ref, *, s1, s2, bs, n_kt, clip_val,
+):
+    """w2a8 variant of the dual kernel: bitcast 4-codes-per-lane unpack +
+    int8 MXU dots with int32 accumulators (see the w2a8 section above); the
+    two sources keep separate activation scales and epilogues."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    w32 = pltpu.bitcast(p_ref[:], jnp.int32)  # (bs/4, bn): 4 packed bytes/lane
+    k1 = 4 * s1
+    s0 = kt * bs
+    in_a = s0 < s1
+
+    @pl.when(in_a)
+    def _():
+        acc = acc1_ref[:]
+        for t in range(4):
+            sh = w32 >> (2 * t) if t else w32
+            c8 = pltpu.bitcast(sh & 0x03030303, jnp.int8)
+            xs = xq_ref[:, pl.ds(t * s1 + s0, bs)]
+            acc = acc + jax.lax.dot_general(
+                xs, c8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+        acc1_ref[:] = acc
+
+    @pl.when(jnp.logical_not(in_a))
+    def _():
+        acc = acc2_ref[:]
+        for t in range(4):
+            sh = w32 >> (2 * t) if t else w32
+            c8 = pltpu.bitcast(sh & 0x03030303, jnp.int8)
+            xs = xq_ref[:, pl.ds(k1 + t * s2 + (s0 - s1), bs)]
+            acc = acc + jax.lax.dot_general(
+                xs, c8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+        acc2_ref[:] = acc
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        xi = xq_ref[:].astype(jnp.int32)
+        rs1 = jnp.sum(xi[:, :k1], axis=1, keepdims=True)
+        rs2 = jnp.sum(xi[:, k1:], axis=1, keepdims=True)
+        y1 = (acc1_ref[:] - rs1).astype(jnp.float32) * xs1_ref[:] * s1_ref[:] + b1_ref[:]
+        y2 = (acc2_ref[:] - rs2).astype(jnp.float32) * xs2_ref[:] * s2_ref[:] + b2_ref[:]
+        if clip_val is not None:
+            y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
+            y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
+        o_ref[:] = (y1 + y2).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s1", "clip_val", "out_dtype", "bm", "bn", "bs"),
+)
+def _dual_w2a8_pallas(
+    xq, xs1, xs2, packed, scale1, bias1, scale2, bias2,
+    *, s1, clip_val, out_dtype, bm, bn, bs,
+):
+    m, ktot = xq.shape
+    s_tot, n = packed.shape
+    s2 = s_tot - s1
+    n_kt = s_tot // bs
+    kernel = functools.partial(
+        _dual_w2a8_kernel, s1=s1, s2=s2, bs=bs, n_kt=n_kt, clip_val=clip_val
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(m, bm), n // bn, n_kt),
+        in_specs=[
+            pl.BlockSpec((bm, ktot), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.int32),
+            pltpu.VMEM((bm, bn), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(xq, xs1, xs2, packed, scale1, bias1, scale2, bias2)
+
+
+def _dual_w2a8_xla(xq, xs1, xs2, packed, sc1, b1, sc2, b2, *, s1, k1, k2, clip_val, out_dtype):
+    """Bit-exact XLA fallback for the dual w2a8 kernel."""
+    w1 = unpack_ternary(packed[:s1], k1, dtype=jnp.int8)
+    w2 = unpack_ternary(packed[s1:], k2, dtype=jnp.int8)
+    a1 = jax.lax.dot_general(
+        xq[:, :k1], w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    a2 = jax.lax.dot_general(
+        xq[:, k1:], w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y1 = a1.astype(jnp.float32) * xs1 * sc1 + b1
+    y2 = a2.astype(jnp.float32) * xs2 * sc2 + b2
+    if clip_val is not None:
+        y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
+        y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
+    return (y1 + y2).astype(out_dtype)
+
+
 def dual_ternary_matmul(
     x1,
     x2,
@@ -629,23 +743,25 @@ def dual_ternary_matmul(
     bias2,
     clip_val: Optional[float] = 100.0,
     impl: str = "auto",
+    a8: bool = False,
 ):
     """``clip(x1 @ W1 * s1 + b1) + clip(x2 @ W2 * s2 + b2)`` in one kernel.
 
     ``packed_stacked``: ``vstack(pack_ternary(W1), pack_ternary(W2))`` — each
     weight packed separately (block-planar, same rule as sharded packing).
     ``s1``: packed-row count of the first block (= K1/4).
+    ``a8``: quantize each source to int8 (separate per-row scales) and use
+    the int8-MXU dual kernel.
     """
     lead = x1.shape[:-1]
     k1, k2 = x1.shape[-1], x2.shape[-1]
     m = math.prod(lead) if lead else 1
-    x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
     s_tot, n = packed_stacked.shape
     s2 = s_tot - s1
     if 4 * s1 != k1 or 4 * s2 != k2:
         raise ValueError(f"packed rows ({s1},{s2}) inconsistent with K dims ({k1},{k2})")
 
-    dt = x.dtype
+    dt = x1.dtype
     sc1 = scale1.reshape(1, n).astype(jnp.float32)
     sc2 = scale2.reshape(1, n).astype(jnp.float32)
     b1 = bias1.reshape(1, n).astype(jnp.float32)
@@ -653,6 +769,26 @@ def dual_ternary_matmul(
 
     bs = _pick_block(math.gcd(s1, s2), (512, 256, 128))
     aligned = bs is not None and n % 128 == 0 and s1 % 128 == 0 and s2 % 128 == 0
+
+    if a8:
+        xq1, xs1 = quantize_activations(x1.reshape(m, k1))
+        xq2, xs2 = quantize_activations(x2.reshape(m, k2))
+        xq = jnp.concatenate([xq1, xq2], axis=1)
+        if impl != "xla" and aligned and _on_tpu():
+            bm = min(m, 128)
+            bn = _pick_block(n, (2048, 1024, 512, 256, 128))
+            out = _dual_w2a8_pallas(
+                xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
+                s1=s1, clip_val=clip_val, out_dtype=dt, bm=bm, bn=bn, bs=bs,
+            )
+        else:
+            out = _dual_w2a8_xla(
+                xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
+                s1=s1, k1=k1, k2=k2, clip_val=clip_val, out_dtype=dt,
+            )
+        return out.reshape(*lead, n)
+
+    x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
     if impl != "xla" and aligned and (_on_tpu() or impl == "pallas"):
         sub = 16 if dt == jnp.bfloat16 else 8
         bm = 128 if m >= 128 else ((m + sub - 1) // sub) * sub

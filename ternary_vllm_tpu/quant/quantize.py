@@ -206,15 +206,9 @@ def fuse_packed_decoder_params(params, specs):
                 },
             }
         )
-        # a8 survives on in_proj (the w2a8 kernel supports act_split); out2's
-        # dual-accumulator kernel is bf16-activation only
-        a8_in = all(spec[n].a8 for n in QUANT_LINEARS)
-        new_specs.append(
-            {
-                "in_proj": LinearSpec(kind="packed", mode="ternary", clip_val=clip, a8=a8_in),
-                "out2": LinearSpec(kind="packed", mode="ternary", clip_val=clip),
-            }
-        )
+        a8_all = all(spec[n].a8 for n in QUANT_LINEARS)
+        fused_spec = LinearSpec(kind="packed", mode="ternary", clip_val=clip, a8=a8_all)
+        new_specs.append({"in_proj": fused_spec, "out2": fused_spec})
     out = dict(params)
     out["layers"] = new_layers
     return out, tuple(new_specs)

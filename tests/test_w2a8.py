@@ -182,9 +182,9 @@ def test_w8a8_pallas_bit_exact_vs_fallback():
     )
 
 
-def test_fuse_preserves_a8_on_in_proj():
-    """fuse_packed_decoder_params: a8 survives on in_proj (w2a8 supports
-    act_split); out2's dual kernel stays bf16-activation."""
+def test_fuse_preserves_a8():
+    """fuse_packed_decoder_params: a8 survives on both fused kernels
+    (in_proj via act_split; out2 via the dual w2a8 kernel)."""
     from ternary_vllm_tpu.quant.quantize import (
         QuantConfig,
         fuse_packed_decoder_params,
@@ -197,17 +197,68 @@ def test_fuse_preserves_a8_on_in_proj():
     qat, qspecs = quantize_decoder_params(params, cfg, QuantConfig())
     packed, pspecs = pack_decoder_params(qat, qspecs, k_multiple=4, a8=True)
     fused, fspecs = fuse_packed_decoder_params(packed, pspecs)
-    assert all(s["in_proj"].a8 for s in fspecs)
-    assert not any(s["out2"].a8 for s in fspecs)
+    assert all(s["in_proj"].a8 and s["out2"].a8 for s in fspecs)
 
-    # fused-a8 forward stays close to unfused-a8 (same weights, the only
-    # difference is out2's bf16-activation second half)
+    # fused-a8 forward stays close to unfused-a8 (same weights; the fused
+    # epilogues are exact, only int8 rounding of the two sources differs)
     ids = jnp.asarray([[3, 1, 4, 1]])
     emb = phi.embed_tokens(packed, ids)
     ref, _ = phi.forward(packed, cfg, pspecs, emb, None, 0)
     got, _ = phi.forward(fused, cfg, fspecs, emb, None, 0)
     a, b = np.asarray(got, np.float32), np.asarray(ref, np.float32)
     assert np.mean(np.abs(a - b)) < 0.05 * (np.mean(np.abs(b)) + 1e-6)
+
+
+def test_dual_w2a8_fallback_matches_composed_math():
+    """dual a8 == two independent w2a8 matmuls summed (same int math)."""
+    from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
+
+    rng = np.random.default_rng(1)
+    K1, K2, N = 128, 256, 128
+    w1 = rng.integers(-1, 2, (K1, N)).astype(np.float32)
+    w2 = rng.integers(-1, 2, (K2, N)).astype(np.float32)
+    pk = jnp.concatenate([pack_ternary(jnp.asarray(w1)), pack_ternary(jnp.asarray(w2))])
+    s1v, s2v = (rng.uniform(0.5, 1.5, (N,)).astype(np.float32) for _ in range(2))
+    b1v, b2v = (rng.normal(0, 0.1, (N,)).astype(np.float32) for _ in range(2))
+    x1 = jnp.asarray(rng.normal(0, 1, (2, K1)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(0, 1, (2, K2)), jnp.float32)
+
+    got = dual_ternary_matmul(
+        x1, x2, pk, K1 // 4, jnp.asarray(s1v), jnp.asarray(b1v),
+        jnp.asarray(s2v), jnp.asarray(b2v), clip_val=100.0, a8=True, impl="xla",
+    )
+    def ref_one(x, w, s, b):
+        xf = np.asarray(x, np.float32)
+        amax = np.maximum(np.abs(xf).max(axis=-1, keepdims=True), 1e-6)
+        xs = amax / 127.0
+        xq = np.clip(np.round(xf / xs), -127, 127).astype(np.int32)
+        acc = xq @ w.astype(np.int32)
+        return np.clip(acc.astype(np.float32) * xs * s[None, :] + b[None, :], -100, 100)
+
+    want = ref_one(x1, w1, s1v, b1v) + ref_one(x2, w2, s2v, b2v)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU (bitcast + int8 MXU)")
+def test_dual_w2a8_pallas_bit_exact_vs_fallback():
+    from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
+
+    rng = np.random.default_rng(2)
+    K1, K2, N = 512, 2048, 128
+    w1 = rng.integers(-1, 2, (K1, N)).astype(np.float32)
+    w2 = rng.integers(-1, 2, (K2, N)).astype(np.float32)
+    pk = jnp.concatenate([pack_ternary(jnp.asarray(w1)), pack_ternary(jnp.asarray(w2))])
+    s1v, s2v = (jnp.asarray(rng.uniform(0.5, 1.5, (N,)), jnp.float32) for _ in range(2))
+    b1v, b2v = (jnp.asarray(rng.normal(0, 0.1, (N,)), jnp.float32) for _ in range(2))
+    x1 = jnp.asarray(rng.normal(0, 1, (2, K1)), jnp.bfloat16)
+    x2 = jnp.asarray(rng.normal(0, 1, (2, K2)), jnp.bfloat16)
+
+    kw = dict(clip_val=100.0, a8=True)
+    got = dual_ternary_matmul(x1, x2, pk, K1 // 4, s1v, b1v, s2v, b2v, **kw)
+    ref = dual_ternary_matmul(x1, x2, pk, K1 // 4, s1v, b1v, s2v, b2v, impl="xla", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
 
 
 def test_compare_quantization_a8_gate():
