@@ -161,6 +161,30 @@ def _pick_block(dim: int, candidates) -> Optional[int]:
     return None
 
 
+def _pick_w2a8_blocks(bm: int, kp: int, s: int, n: int, *, n_acc: int = 1):
+    """(bs, bn) for the w2a8 kernels, sized to fit scoped VMEM.
+
+    Prefers the widest bn (fewer grid steps, full-line HBM streams for the
+    packed weight) subject to a conservative VMEM budget: double-buffered
+    xq/weight/out blocks + int32 accumulator scratch (``n_acc`` of them for
+    the dual kernel) must fit well under the ~16 MB scoped limit — at decode
+    bm=1 this still picks bn=n, while prefill (bm up to 128) backs off."""
+    budget = 10 * 1024 * 1024
+    x_bytes = 2 * bm * kp  # int8 xq, double-buffered
+    for cand_n in (n, 4096, 2048, 1024, 512, 256, 128):
+        if cand_n > n or n % cand_n:
+            continue
+        out_bytes = bm * cand_n * (2 * 2 + 4 * n_acc)  # bf16 out x2 + i32 acc
+        for cand_s in (1024, 512, 256, 128):
+            if s % cand_s:
+                continue
+            # 5x the packed block: 2 DMA buffers + Mosaic stack temporaries
+            # for the unpack (w32 / shifted / i8-codes planes), each ~bs*bn
+            if x_bytes + out_bytes + 5 * cand_s * cand_n <= budget:
+                return cand_s, cand_n
+    return _pick_block(s, (512, 256, 128)), 128
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -776,7 +800,11 @@ def dual_ternary_matmul(
         xq = jnp.concatenate([xq1, xq2], axis=1)
         if impl != "xla" and aligned and _on_tpu():
             bm = min(m, 128)
-            bn = _pick_block(n, (2048, 1024, 512, 256, 128))
+            # bs must divide BOTH packed blocks -> pick from the gcd; two
+            # int32 accumulators live in scratch (n_acc=2)
+            bs, bn = _pick_w2a8_blocks(
+                bm, k1 + k2, math.gcd(s1, s2), n, n_acc=2
+            )
             out = _dual_w2a8_pallas(
                 xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
                 s1=s1, clip_val=clip_val, out_dtype=dt, bm=bm, bn=bn, bs=bs,
@@ -885,21 +913,7 @@ def quantized_matmul(
         aligned = (n % 128 == 0) and (s % 128 == 0)
         if impl != "xla" and aligned and _on_tpu():
             bm = min(m, 128)
-            cap_packed = 2 * 1024 * 1024
-            bs_, bn_ = None, None
-            for cand_n in (n, 4096, 2048, 1024, 512, 256, 128):
-                if cand_n > n or n % cand_n:
-                    continue
-                cand_s = next(
-                    (c for c in (1024, 512, 256, 128)
-                     if s % c == 0 and c * cand_n <= cap_packed),
-                    None,
-                )
-                if cand_s is not None:
-                    bs_, bn_ = cand_s, cand_n
-                    break
-            if bs_ is None:
-                bs_, bn_ = _pick_block(s, (512, 256, 128)), 128
+            bs_, bn_ = _pick_w2a8_blocks(bm, kp, s, n)
             out = _w2a8_matmul_pallas(
                 xq, xscale, packed, scale2, bias2,
                 mode=mode, clip_val=clip_val, act=act, out_dtype=dt,

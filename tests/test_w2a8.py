@@ -261,6 +261,28 @@ def test_dual_w2a8_pallas_bit_exact_vs_fallback():
     )
 
 
+def test_w2a8_block_picker_respects_vmem():
+    """VMEM-aware (bs, bn) choice: full-width tiles at decode (bm=1), backed
+    off at prefill (bm=64+) — the fused in_proj (K=2048, N=14336) previously
+    picked bn=N at bm=64 and blew the 16MB scoped-vmem limit."""
+    from ternary_vllm_tpu.ops.ternary_matmul import _pick_w2a8_blocks
+
+    def vmem(bm, kp, bs, bn, n_acc=1):
+        return 2 * bm * kp + bm * bn * (4 + 4 * n_acc) + 5 * bs * bn
+
+    # decode: bm=1 keeps the full-width streaming layout
+    bs, bn = _pick_w2a8_blocks(1, 2048, 512, 14336)
+    assert bn == 14336 and 512 % bs == 0
+    # prefill: bm=64 must back off below the scoped limit
+    bs, bn = _pick_w2a8_blocks(64, 2048, 512, 14336)
+    assert vmem(64, 2048, bs, bn) <= 10 * 1024 * 1024
+    assert 14336 % bn == 0 and 512 % bs == 0
+    # dual kernel (two accumulators) at prefill
+    bs, bn = _pick_w2a8_blocks(128, 10240, 512, 2048, n_acc=2)
+    assert vmem(128, 10240, bs, bn, n_acc=2) <= 10 * 1024 * 1024
+    assert 2048 % bn == 0 and 512 % bs == 0
+
+
 def test_compare_quantization_a8_gate():
     """eval harness runs the a8 + int8-head path and reports finite deltas."""
     from ternary_vllm_tpu.eval.perplexity import compare_quantization
