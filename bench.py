@@ -94,11 +94,16 @@ def worker(kind: str, batch: int) -> None:
     log(f"[worker {kind}] params built")
 
     if kind == "packed":
-        # a8: int8-activation (w2a8) kernel — int8-MXU unpack path
+        # a8: int8-activation (w2a8) kernels with in-kernel quantization,
+        # fused [Wqkv|fc1] in_proj + dual out_proj/fc2 (2 kernels/layer)
+        from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
+
         spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
-        specs = phi.freeze_specs(
-            tuple({n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers))
+        specs = tuple(
+            {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
         )
+        params, specs = fuse_packed_decoder_params(params, specs)
+        specs = phi.freeze_specs(specs)
     else:
         specs = phi.freeze_specs(phi.layer_specs(cfg))
 

@@ -97,6 +97,11 @@ DENSE = LinearSpec()
 #: quantized-matmul cost from the attention path in ablations.
 _DEBUG_SKIP_ATTENTION = False
 
+#: profiling hook (tests/benchmarks only): when True, decode-path KV-cache
+#: writes are skipped (attention reads the stale cache) — isolates the cost
+#: of the dynamic_update_slice cache updates in ablations.
+_DEBUG_SKIP_CACHE_WRITE = False
+
 #: names of the quantizable linears inside one decoder layer
 QUANT_LINEARS = ("wqkv", "out_proj", "fc1", "fc2")
 
@@ -376,7 +381,14 @@ def _decoder_layer(
 
     q, k = apply_rotary(q, k, cos, sin, config.rotary_dim)
 
-    if kv is not None:
+    if kv is not None and _DEBUG_SKIP_CACHE_WRITE and t == 1:
+        new_kv = kv
+        if len(kv) == 4:
+            k_full = _dequantize_kv(kv[0], kv[1], x.dtype)
+            v_full = _dequantize_kv(kv[2], kv[3], x.dtype)
+        else:
+            k_full, v_full = kv[0].astype(x.dtype), kv[1].astype(x.dtype)
+    elif kv is not None:
         if _is_vector_pos(pos):
             # per-sequence positions (continuous batching): scatter each row
             def write(c, u, p):

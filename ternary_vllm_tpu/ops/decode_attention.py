@@ -10,6 +10,11 @@ block — Pallas skips the DMA when consecutive grid steps map to the same
 block, so HBM traffic scales with the true sequence length, not capacity.
 (The same idea as paged attention's length-bounded reads, in pure Pallas.)
 
+Chunk default 128: reads quantize to chunk granularity, so smaller chunks
+waste less bandwidth at short live lengths (measured +3-5% decode t/s on the
+flagship vs 256 at live length 64-192); at long lengths the DMA bytes are
+identical and only ~0.3-1 us/dead-program switch overhead differs.
+
 Online-softmax accumulation (running max / normalizer, f32) over K-chunks;
 GQA-aware (query head h reads kv head h // group).  Falls back to the XLA
 masked-softmax path off-TPU or for unsupported shapes.
@@ -77,7 +82,7 @@ def _decode_attn_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _decode_attention_pallas(q, k_cache, v_cache, pos, chunk: int = 256):
+def _decode_attention_pallas(q, k_cache, v_cache, pos, chunk: int = 128):
     b, h, hd = q.shape
     _, kvh, t, _ = k_cache.shape
     groups = h // kvh
@@ -170,7 +175,7 @@ def _decode_attn_kernel_i8(
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 256):
+def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 128):
     b, h, hd = q.shape
     _, kvh, t, _ = kq.shape
     groups = h // kvh
@@ -214,7 +219,7 @@ def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 256):
     )(pos_vec, q, kq, ks, vq, vs)
 
 
-def decode_attention_int8(q, kq, ks, vq, vs, pos, chunk: int = 256, impl: str = "auto"):
+def decode_attention_int8(q, kq, ks, vq, vs, pos, chunk: int = 128, impl: str = "auto"):
     """Single-token attention against the int8-quantized cache
     (``phi.init_cache(..., dtype="int8")`` layout)."""
     t = kq.shape[2]
@@ -245,7 +250,7 @@ def _decode_attention_xla(q, k_cache, v_cache, pos):
     return jnp.einsum("bht,bhtd->bhd", p, vf).astype(q.dtype)
 
 
-def decode_attention(q, k_cache, v_cache, pos, chunk: int = 256, impl: str = "auto"):
+def decode_attention(q, k_cache, v_cache, pos, chunk: int = 128, impl: str = "auto"):
     """Single-token attention against a fixed-capacity cache.
 
     Args:

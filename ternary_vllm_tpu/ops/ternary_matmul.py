@@ -161,16 +161,20 @@ def _pick_block(dim: int, candidates) -> Optional[int]:
     return None
 
 
-def _pick_w2a8_blocks(bm: int, kp: int, s: int, n: int, *, n_acc: int = 1):
+def _pick_w2a8_blocks(
+    bm: int, kp: int, s: int, n: int, *, n_acc: int = 1, x_itemsize: int = 2
+):
     """(bs, bn) for the w2a8 kernels, sized to fit scoped VMEM.
 
     Prefers the widest bn (fewer grid steps, full-line HBM streams for the
     packed weight) subject to a conservative VMEM budget: double-buffered
-    xq/weight/out blocks + int32 accumulator scratch (``n_acc`` of them for
-    the dual kernel) must fit well under the ~16 MB scoped limit — at decode
-    bm=1 this still picks bn=n, while prefill (bm up to 128) backs off."""
+    x/weight/out blocks + int8-xq and int32-accumulator scratch (``n_acc``
+    accumulators for the dual kernel) must fit well under the ~16 MB scoped
+    limit — at decode bm=1 this still picks bn=n, while prefill (bm up to
+    128) backs off."""
     budget = 10 * 1024 * 1024
-    x_bytes = 2 * bm * kp  # int8 xq, double-buffered
+    # x double-buffered + int8 xq scratch (in-kernel quantization)
+    x_bytes = bm * kp * (2 * x_itemsize + 1)
     for cand_n in (n, 4096, 2048, 1024, 512, 256, 128):
         if cand_n > n or n % cand_n:
             continue
@@ -329,14 +333,30 @@ def quantize_activations(x):
     return xq, xscale
 
 
+def _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref, lo=None, hi=None):
+    """Per-row int8 quantization inside the kernel (VMEM->VMEM), matching
+    :func:`quantize_activations` bit-for-bit (same f32 elementwise ops; the
+    max reduction is order-insensitive).  Quantizing at ``kt == 0`` into
+    scratch removes the per-matmul XLA convert/reduce glue that otherwise
+    costs ~1/4 of a decode step at batch 1 (trace: `convert` + `*_reduce`
+    fusions).  ``lo:hi`` restricts to a column span (dual kernel)."""
+    sl = slice(lo, hi) if lo is not None or hi is not None else slice(None)
+    xf = x_ref[:, sl].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    xq_ref[:, sl] = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    xs_ref[:] = xs
+
+
 def _w2a8_matmul_kernel(
-    xq_ref, xs_ref, p_ref, scale_ref, bias_ref, o_ref, acc_ref,
+    x_ref, p_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref,
     *, s, bs, n_kt, mode, clip_val, act, act_split=None, bn=None,
 ):
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
+        _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     planes = _num_planes(mode)
@@ -378,10 +398,10 @@ def _w2a8_matmul_kernel(
     ),
 )
 def _w2a8_matmul_pallas(
-    xq, xscale, packed, scale, bias, *, mode, clip_val, act, out_dtype, bm, bn, bs,
+    x, packed, scale, bias, *, mode, clip_val, act, out_dtype, bm, bn, bs,
     act_split=None,
 ):
-    m, kp = xq.shape
+    m, kp = x.shape
     s, n = packed.shape
     n_kt = s // bs
     kernel = functools.partial(
@@ -399,19 +419,22 @@ def _w2a8_matmul_pallas(
         grid=(pl.cdiv(m, bm), n // bn, n_kt),
         in_specs=[
             pl.BlockSpec((bm, kp), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((bm, kp), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
-    )(xq, xscale, packed, scale, bias)
+    )(x, packed, scale, bias)
 
 
 def _w2a8_matmul_xla(
@@ -444,12 +467,13 @@ def _w2a8_matmul_xla(
 
 
 def _w8a8_matmul_kernel(
-    xq_ref, xs_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, *, n_kt
+    x_ref, w_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref, *, n_kt
 ):
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
+        _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     bk = w_ref.shape[0]
@@ -465,8 +489,8 @@ def _w8a8_matmul_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
-def _w8a8_matmul_pallas(xq, xscale, w_q, scale, bias, *, out_dtype, bm, bn, bk):
-    m, k = xq.shape
+def _w8a8_matmul_pallas(x, w_q, scale, bias, *, out_dtype, bm, bn, bk):
+    m, k = x.shape
     _, n = w_q.shape
     n_kt = k // bk
     return pl.pallas_call(
@@ -474,18 +498,21 @@ def _w8a8_matmul_pallas(xq, xscale, w_q, scale, bias, *, out_dtype, bm, bn, bk):
         grid=(pl.cdiv(m, bm), n // bn, n_kt),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(xq, xscale, w_q, scale, bias)
+    )(x, w_q, scale, bias)
 
 
 def int8_matmul(x, w_q, scale, bias=None, impl: str = "auto"):
@@ -498,7 +525,6 @@ def int8_matmul(x, w_q, scale, bias=None, impl: str = "auto"):
     n = w_q.shape[1]
     m = math.prod(lead) if lead else 1
     x2 = x.reshape(m, k)
-    xq, xscale = quantize_activations(x2)
     scale2 = scale.reshape(1, n).astype(jnp.float32)
     bias2 = (
         jnp.zeros((1, n), jnp.float32) if bias is None
@@ -510,9 +536,10 @@ def int8_matmul(x, w_q, scale, bias=None, impl: str = "auto"):
         bn = _pick_block(n, (2048, 1024, 512, 256, 128))
         bk = next((c for c in (2048, 1024, 512, 256, 128) if k % c == 0 and c * bn <= 4 * 1024 * 1024), 128)
         out = _w8a8_matmul_pallas(
-            xq, xscale, w_q, scale2, bias2, out_dtype=x.dtype, bm=bm, bn=bn, bk=bk
+            x2, w_q, scale2, bias2, out_dtype=x.dtype, bm=bm, bn=bn, bk=bk
         )
     else:
+        xq, xscale = quantize_activations(x2)
         acc = jax.lax.dot_general(
             xq, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
@@ -643,16 +670,20 @@ def _dual_matmul_pallas(
 
 
 def _dual_w2a8_kernel(
-    xq_ref, xs1_ref, xs2_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref,
-    acc1_ref, acc2_ref, *, s1, s2, bs, n_kt, clip_val,
+    x_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref,
+    xq_ref, xs1_ref, xs2_ref, acc1_ref, acc2_ref, *, s1, s2, bs, n_kt, clip_val,
 ):
     """w2a8 variant of the dual kernel: bitcast 4-codes-per-lane unpack +
     int8 MXU dots with int32 accumulators (see the w2a8 section above); the
-    two sources keep separate activation scales and epilogues."""
+    two sources are int8-quantized in-kernel with separate per-row scales
+    and keep separate exact epilogues."""
     kt = pl.program_id(2)
+    k1_cols = 4 * s1
 
     @pl.when(kt == 0)
     def _():
+        _quantize_rows_in_kernel(x_ref, xq_ref, xs1_ref, lo=0, hi=k1_cols)
+        _quantize_rows_in_kernel(x_ref, xq_ref, xs2_ref, lo=k1_cols, hi=None)
         acc1_ref[:] = jnp.zeros_like(acc1_ref)
         acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
@@ -703,10 +734,10 @@ def _dual_w2a8_kernel(
     static_argnames=("s1", "clip_val", "out_dtype", "bm", "bn", "bs"),
 )
 def _dual_w2a8_pallas(
-    xq, xs1, xs2, packed, scale1, bias1, scale2, bias2,
+    x, packed, scale1, bias1, scale2, bias2,
     *, s1, clip_val, out_dtype, bm, bn, bs,
 ):
-    m, ktot = xq.shape
+    m, ktot = x.shape
     s_tot, n = packed.shape
     s2 = s_tot - s1
     n_kt = s_tot // bs
@@ -718,8 +749,6 @@ def _dual_w2a8_pallas(
         grid=(pl.cdiv(m, bm), n // bn, n_kt),
         in_specs=[
             pl.BlockSpec((bm, ktot), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
@@ -729,13 +758,16 @@ def _dual_w2a8_pallas(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[
+            pltpu.VMEM((bm, ktot), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
             pltpu.VMEM((bm, bn), jnp.int32),
             pltpu.VMEM((bm, bn), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(xq, xs1, xs2, packed, scale1, bias1, scale2, bias2)
+    )(x, packed, scale1, bias1, scale2, bias2)
 
 
 def _dual_w2a8_xla(xq, xs1, xs2, packed, sc1, b1, sc2, b2, *, s1, k1, k2, clip_val, out_dtype):
@@ -795,21 +827,23 @@ def dual_ternary_matmul(
     aligned = bs is not None and n % 128 == 0 and s1 % 128 == 0 and s2 % 128 == 0
 
     if a8:
-        xq1, xs1 = quantize_activations(x1.reshape(m, k1))
-        xq2, xs2 = quantize_activations(x2.reshape(m, k2))
-        xq = jnp.concatenate([xq1, xq2], axis=1)
         if impl != "xla" and aligned and _on_tpu():
+            x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
             bm = min(m, 128)
             # bs must divide BOTH packed blocks -> pick from the gcd; two
             # int32 accumulators live in scratch (n_acc=2)
             bs, bn = _pick_w2a8_blocks(
-                bm, k1 + k2, math.gcd(s1, s2), n, n_acc=2
+                bm, k1 + k2, math.gcd(s1, s2), n, n_acc=2,
+                x_itemsize=x.dtype.itemsize,
             )
             out = _dual_w2a8_pallas(
-                xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
+                x, packed_stacked, sc1, b1, sc2, b2,
                 s1=s1, clip_val=clip_val, out_dtype=dt, bm=bm, bn=bn, bs=bs,
             )
         else:
+            xq1, xs1 = quantize_activations(x1.reshape(m, k1))
+            xq2, xs2 = quantize_activations(x2.reshape(m, k2))
+            xq = jnp.concatenate([xq1, xq2], axis=1)
             out = _dual_w2a8_xla(
                 xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
                 s1=s1, k1=k1, k2=k2, clip_val=clip_val, out_dtype=dt,
@@ -909,17 +943,19 @@ def quantized_matmul(
     bias2 = jnp.zeros((1, n), jnp.float32) if bias is None else bias.reshape(1, n).astype(jnp.float32)
 
     if a8:
-        xq, xscale = quantize_activations(x2)
         aligned = (n % 128 == 0) and (s % 128 == 0)
         if impl != "xla" and aligned and _on_tpu():
             bm = min(m, 128)
-            bs_, bn_ = _pick_w2a8_blocks(bm, kp, s, n)
+            bs_, bn_ = _pick_w2a8_blocks(
+                bm, kp, s, n, x_itemsize=x2.dtype.itemsize
+            )
             out = _w2a8_matmul_pallas(
-                xq, xscale, packed, scale2, bias2,
+                x2, packed, scale2, bias2,
                 mode=mode, clip_val=clip_val, act=act, out_dtype=dt,
                 bm=bm, bn=bn_, bs=bs_, act_split=act_split,
             )
         else:
+            xq, xscale = quantize_activations(x2)
             out = _w2a8_matmul_xla(
                 xq, xscale, packed, scale2, bias2,
                 mode=mode, clip_val=clip_val, act=act, out_dtype=dt, kp=kp,

@@ -268,7 +268,8 @@ def test_w2a8_block_picker_respects_vmem():
     from ternary_vllm_tpu.ops.ternary_matmul import _pick_w2a8_blocks
 
     def vmem(bm, kp, bs, bn, n_acc=1):
-        return 2 * bm * kp + bm * bn * (4 + 4 * n_acc) + 5 * bs * bn
+        # bf16 x double-buffered + int8 xq scratch + out/acc + packed blocks
+        return bm * kp * 5 + bm * bn * (4 + 4 * n_acc) + 5 * bs * bn
 
     # decode: bm=1 keeps the full-width streaming layout
     bs, bn = _pick_w2a8_blocks(1, 2048, 512, 14336)
