@@ -24,25 +24,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _scan_time(fn, x, iters=200):
-    """One-dispatch timing: fn applied `iters` times inside lax.scan."""
+def _scan_time(fn, x, iters=(400, 2000)):
+    """Per-iteration time of ``fn`` with the dispatch fixed-cost cancelled.
+
+    This environment's remote-TPU transport adds ~30-40 ms per dispatch, so a
+    single scan-loop timing at small ``iters`` mostly measures the transport.
+    Timing TWO iteration counts and taking the slope (t2-t1)/(i2-i1) cancels
+    the fixed cost exactly."""
     import jax
     import jax.numpy as jnp
 
-    def many(x):
-        def body(c, _):
-            o = fn(x + c * jnp.zeros_like(x))
-            return jnp.ravel(o)[:1].astype(jnp.float32), None
+    def make(length):
+        def many(x):
+            def body(c, _):
+                o = fn(x + c * jnp.zeros_like(x))
+                # consume EVERY output element: keeping only o[0] lets XLA
+                # dead-code-eliminate most of a dense matmul
+                return jnp.sum(o, dtype=jnp.float32).reshape(1), None
 
-        c, _ = jax.lax.scan(body, jnp.zeros((1,), jnp.float32), None, length=iters)
-        return c
+            c, _ = jax.lax.scan(body, jnp.zeros((1,), jnp.float32), None, length=length)
+            return c
 
-    jf = jax.jit(many)
-    np.asarray(jf(x))
-    t0 = time.perf_counter()
-    np.asarray(jf(x))
-    total = time.perf_counter() - t0
-    return total / iters
+        return jax.jit(many)
+
+    i1, i2 = iters
+    f1, f2 = make(i1), make(i2)
+    np.asarray(f1(x)); np.asarray(f2(x))
+    t1 = t2 = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(f1(x)); t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); np.asarray(f2(x)); t2 = min(t2, time.perf_counter() - t0)
+    return (t2 - t1) / (i2 - i1)
 
 
 def config1_single_linear():
@@ -70,7 +82,8 @@ def config1_single_linear():
         "value": round(t_tern * 1e6, 2),
         "unit": "us",
         "vs_baseline": round(t_dense / t_tern, 3),
-        "note": "raw scan-loop iteration times (shared harness overhead included in both)",
+        "note": "M=1024 is MXU-compute-bound so packed ternary ~ties f32 dense;"
+        " the ternary win is the weight-streaming-bound regime (decode)",
     }
 
 
@@ -234,21 +247,32 @@ def config4_int8kv_decode():
                 "fc2": mk(ks[3], f, d),
             }
         )
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+
+    head = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
     params = {
         "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
         "layers": layers,
         "lm_head": {
             "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
-            "linear": {
-                "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
-                "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
-            },
+            "linear": head,
         },
     }
-    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0)
-    specs = phi.freeze_specs(
-        tuple({n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers))
+    # flagship config (same as bench.py) but with the int8 KV cache
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
     )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    specs = phi.freeze_specs(specs)
     emb = (jax.random.normal(jax.random.PRNGKey(1), (1, 64, d)) * 0.1).astype(jnp.bfloat16)
     steps = 128
 
