@@ -300,10 +300,102 @@ def config4_int8kv_decode():
     }
 
 
+def config5_image_prefill():
+    """Image-prompt prefill latency — the reference's headline latency metric
+    (``test_tflite.py:201-203`` times the 729-image-token prefill on CPU).
+    Flagship config; transport fixed cost cancelled by differencing two
+    prompt lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.serve.decode import prefill
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+
+    cfg = phi.MOONDREAM_PHI_CONFIG
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_hidden_layers + 2)
+
+    def mk(k, kdim, ndim):
+        return {
+            "packed": pack_ternary(jax.random.normal(k, (kdim, ndim))),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": mk(ks[0], d, 3 * d),
+                "out_proj": mk(ks[1], d, d),
+                "fc1": mk(ks[2], d, f),
+                "fc2": mk(ks[3], f, d),
+            }
+        )
+    head = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": head,
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
+    )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    specs = phi.freeze_specs(specs)
+    jax.block_until_ready(params)
+
+    import jax.random as jrandom
+
+    def run(t):
+        emb = (jrandom.normal(jrandom.PRNGKey(1), (1, t, d)) * 0.1).astype(jnp.bfloat16)
+
+        def once():
+            # fresh cache each call: prefill donates it
+            cache = phi.init_cache(cfg, 1, 2048, jnp.bfloat16)
+            jax.block_until_ready(cache)
+            t0 = time.perf_counter()
+            logits, _ = prefill(params, cfg, specs, cache, emb)
+            np.asarray(jnp.argmax(logits[:, t - 1], axis=-1))
+            return time.perf_counter() - t0
+
+        once()  # compile
+        return min(once() for _ in range(4))
+
+    t_lo, t_hi = run(64), run(1472)
+    per_tok = (t_hi - t_lo) / (1472 - 64)
+    return {
+        "metric": "image_prompt_prefill_ms_736tok",
+        "value": round(736 * per_tok * 1000, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "note": f"device-time slope between 64- and 1472-token prompts"
+        f" ({1/per_tok:.0f} prefill tokens/s); reference measures the"
+        f" 729-image-token prefill (test_tflite.py:201-203)",
+    }
+
+
 CONFIGS = {
     "1_single_linear": config1_single_linear,
     "3_vit_throughput": config3_vit_throughput,
     "4_int8kv_decode": config4_int8kv_decode,
+    "5_image_prefill": config5_image_prefill,
 }
 
 
