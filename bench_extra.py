@@ -391,11 +391,66 @@ def config5_image_prefill():
     }
 
 
+def config6_qat_train_step():
+    """QAT fine-tune step throughput on the flagship-size decoder — the
+    reference's ``train.py`` capability (single-device SGD fine-tune,
+    ``train.py:260-310``), measured as train tokens/s on one TPU chip.
+    vs_baseline = the same step with no quantized layers (plain bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.quant import QuantConfig, quantize_decoder_params
+    from ternary_vllm_tpu.train import qat
+
+    B, T = 4, 512
+    cfg = phi.MOONDREAM_PHI_CONFIG
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32),
+    }
+
+    def measure(quantize: bool):
+        params = phi.init_phi_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        if quantize:
+            params, specs = quantize_decoder_params(
+                params, cfg, QuantConfig(quantization="ternary")
+            )
+        else:
+            specs = phi.layer_specs(cfg)
+        tc = qat.TrainConfig(lr=1e-4, total_steps=100, quantization="ternary", remat=True)
+        tx = qat.make_optimizer(tc)
+        opt_state = tx.init(params)
+        step = qat.make_train_step(cfg, specs, tc, tx)
+        params, opt_state, m = step(params, opt_state, batch)
+        jax.block_until_ready(m["loss"])
+        best = 1e9
+        for _ in range(4):
+            t0 = time.perf_counter()
+            params, opt_state, m = step(params, opt_state, batch)
+            np.asarray(m["loss"])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_qat = measure(True)
+    t_dense = measure(False)
+    return {
+        "metric": "qat_train_tokens_per_s",
+        "value": round(B * T / t_qat, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(t_dense / t_qat, 3),
+        "note": f"batch {B} x seq {T}, 24L flagship, SGD + remat; baseline ="
+        " identical step without fake-quant (bf16 dense)",
+    }
+
+
 CONFIGS = {
     "1_single_linear": config1_single_linear,
     "3_vit_throughput": config3_vit_throughput,
     "4_int8kv_decode": config4_int8kv_decode,
     "5_image_prefill": config5_image_prefill,
+    "6_qat_train_step": config6_qat_train_step,
 }
 
 
