@@ -445,12 +445,116 @@ def config6_qat_train_step():
     }
 
 
+def _build_flagship_packed():
+    """Flagship packed decoder (fused w2a8 + int8 lm_head) with random
+    weights — shared by the serving-shaped configs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+
+    cfg = phi.MOONDREAM_PHI_CONFIG
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_hidden_layers + 2)
+
+    def mk(k, kdim, ndim):
+        return {
+            "packed": pack_ternary(jax.random.normal(k, (kdim, ndim))),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": mk(ks[0], d, 3 * d),
+                "out_proj": mk(ks[1], d, d),
+                "fc1": mk(ks[2], d, f),
+                "fc2": mk(ks[3], f, d),
+            }
+        )
+    head = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": head,
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
+    )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    jax.block_until_ready(params)
+    return cfg, params, specs
+
+
+def config7_engine_throughput():
+    """Continuous-batching engine: 16 mixed-length requests through 8 slots
+    (burst decode, bucketed prefill) — the serving-loop capability the
+    reference approximates with its single-stream TFLite loop
+    (``test_tflite.py:193-219``)."""
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.serve.engine import Engine
+
+    cfg, params, specs = _build_flagship_packed()
+    d = cfg.hidden_size
+    rng = np.random.default_rng(0)
+
+    def run():
+        eng = Engine(
+            params, cfg, specs, max_batch=8, max_len=1024, burst=16,
+            buckets=(32, 64, 128, 256),
+        )
+        import ml_dtypes
+
+        for _ in range(16):
+            plen = int(rng.integers(24, 200))
+            # host array: producers should hand the engine host (or
+            # bucket-padded) embeds — see Engine._admit's padding note
+            emb = rng.normal(0, 0.1, (1, plen, d)).astype(ml_dtypes.bfloat16)
+            eng.add_request(emb, max_new_tokens=96)
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        gen = sum(len(r.tokens) for r in done)
+        return gen / dt
+
+    run()  # compile all buckets + burst
+    tps = max(run() for _ in range(2))
+    return {
+        "metric": "engine_mixed_tokens_per_s",
+        "value": round(tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": None,
+        "note": "16 requests, prompts 24-200 tok, 96 new tok each, 8 slots,"
+        " burst 16; includes prefill + scheduling + host round-trips",
+    }
+
+
 CONFIGS = {
     "1_single_linear": config1_single_linear,
     "3_vit_throughput": config3_vit_throughput,
     "4_int8kv_decode": config4_int8kv_decode,
     "5_image_prefill": config5_image_prefill,
     "6_qat_train_step": config6_qat_train_step,
+    "7_engine_throughput": config7_engine_throughput,
 }
 
 

@@ -70,6 +70,31 @@ def _install_slot(params, ks, vs, cache, slot):
 
 @partial(
     jax.jit,
+    static_argnames=("config", "specs", "bucket"),
+    donate_argnums=(4,),
+)
+def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket):
+    """Prefill + splice into the engine cache + record the first token, in
+    ONE dispatch (this transport charges ~10-35 ms per host round-trip, so
+    the old prefill→install→argmax-fetch admission cost 3 round trips per
+    request).  ``slot`` and ``prompt_len`` are traced scalars — only the
+    bucket shape recompiles."""
+    local = phi.init_cache(config, 1, bucket, jnp.bfloat16)
+    logits, local = phi.forward(params, config, specs, embeds, local, 0)
+    new_cache = []
+    for (ck, cv), (lk, lv) in zip(cache, local):
+        ck = jax.lax.dynamic_update_slice(ck, lk.astype(ck.dtype), (slot, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, lv.astype(cv.dtype), (slot, 0, 0, 0))
+        new_cache.append((ck, cv))
+    last = jax.lax.dynamic_index_in_dim(logits[0], prompt_len - 1, axis=0, keepdims=False)
+    first = jnp.argmax(last).astype(jnp.int32)
+    tokens = tokens.at[slot].set(first)
+    pos = pos.at[slot].set(prompt_len)
+    return new_cache, tokens, pos
+
+
+@partial(
+    jax.jit,
     static_argnames=("config", "specs", "temperature", "n_steps"),
     donate_argnums=(3,),
 )
@@ -96,7 +121,11 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     (tok, cache, pos, act, _), toks = jax.lax.scan(
         body, (tokens, cache, pos, active, key), None, length=n_steps
     )
-    return toks.T, cache, pos  # (B, n_steps)
+    # column 0 = the entry token (the prefill's first token for freshly
+    # admitted slots) so the engine's single post-burst fetch covers it —
+    # admission needs NO device->host round-trip of its own
+    toks_all = jnp.concatenate([tokens[:, None], toks.T], axis=1)
+    return toks_all, cache, pos  # (B, 1 + n_steps)
 
 
 @partial(jax.jit, static_argnames=("config", "specs", "temperature"), donate_argnums=(3,))
@@ -141,6 +170,10 @@ class Engine:
         self.cache = phi.init_cache(config, max_batch, max_len, jnp.bfloat16)
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.pos = jnp.zeros((max_batch,), jnp.int32)
+        # host mirror of per-slot positions (avoids a D2H fetch per step)
+        self.pos_host: List[int] = [0] * max_batch
+        # slots whose prefill first-token hasn't been reported to the host yet
+        self._pending_first: List[bool] = [False] * max_batch
         self.key = jax.random.PRNGKey(seed)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
@@ -186,6 +219,11 @@ class Engine:
         raise ValueError(f"prompt length {t} exceeds largest bucket {self.buckets[-1]}")
 
     def _admit(self):
+        """Prefill queued prompts into free slots — zero host round-trips.
+
+        Each admission is ONE fused dispatch (prefill + cache splice + first
+        token recorded device-side); the first token reaches the host via the
+        next ``step``'s single token-matrix fetch (its column 0)."""
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.queue:
                 continue
@@ -194,20 +232,22 @@ class Engine:
             b = self._bucket(t)
             emb = req.prompt_embeds
             if b > t:
-                emb = jnp.pad(emb, ((0, 0), (0, b - t), (0, 0)))
-            logits, ks, vs = _prefill_one(self.params, self.config, self.specs, emb, b)
-            self.cache = _install_slot(self.params, ks, vs, self.cache, jnp.int32(slot))
-            first = jnp.argmax(logits[0, t - 1]).astype(jnp.int32)
-            self.tokens = self.tokens.at[slot].set(first)
-            self.pos = self.pos.at[slot].set(t)
+                # pad on the HOST: a device-side pad (or any traced op on the
+                # raw prompt) compiles once per distinct prompt LENGTH —
+                # unbounded compile-cache growth, and each compile costs
+                # hundreds of ms. Host padding keeps compiles bounded by the
+                # bucket set; producers can also pre-pad to a bucket size.
+                emb = np.asarray(emb)
+                emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
+            emb = jnp.asarray(emb)
+            self.cache, self.tokens, self.pos = _prefill_into(
+                self.params, self.config, self.specs, emb, self.cache,
+                jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
+            )
+            self.pos_host[slot] = t
             req.slot = slot
-            req.tokens.append(int(first))
-            if req.on_token is not None:
-                req.on_token(int(first), req)
-            if int(first) == req.eos_id:
-                self._finish(req)
-            else:
-                self.slots[slot] = req
+            self.slots[slot] = req
+            self._pending_first[slot] = True
 
     def _finish(self, req: Request):
         req.done = True
@@ -219,7 +259,13 @@ class Engine:
 
     def step(self):
         """One engine iteration: admit new work, then one batched decode
-        (``burst`` fused steps when safe — amortizes the host round-trip)."""
+        (``burst`` fused steps when safe — amortizes the host round-trip).
+
+        Exactly ONE device→host fetch per iteration (the token matrix);
+        per-slot positions are mirrored on the host (``pos_host``) by
+        replaying the device's advance rule, so no position fetch is needed —
+        host round-trips cost ~10-35 ms on remote-attached TPUs and would
+        otherwise dominate the decode itself."""
         self._admit()
         active_list = [s is not None for s in self.slots]
         if not any(active_list):
@@ -227,9 +273,8 @@ class Engine:
         active = jnp.asarray(active_list)
         self.key, sub = jax.random.split(self.key)
 
-        pos_host = np.asarray(self.pos)
         max_active_pos = max(
-            (int(pos_host[i]) for i, a in enumerate(active_list) if a), default=0
+            (self.pos_host[i] for i, a in enumerate(active_list) if a), default=0
         )
         n_steps = min(self.burst, self.max_len - 1 - max_active_pos)
         if n_steps > 1:
@@ -242,26 +287,49 @@ class Engine:
                 n_steps=n_steps,
             )
             self.tokens = toks[:, -1]
-            toks_host = np.asarray(toks)
+            toks_host = np.asarray(toks)  # (B, 1 + n_steps); col 0 = entry
         else:
+            entry = self.tokens
             nxt, self.cache, self.pos = _decode_step(
                 self.params, self.config, self.specs, self.cache,
                 self.tokens, self.pos, sub, self.temperature, active,
             )
             self.tokens = nxt
-            toks_host = np.asarray(nxt)[:, None]
+            toks_host = np.asarray(jnp.stack([entry, nxt], axis=1))
 
-        pos_host = np.asarray(self.pos)
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            for k in range(toks_host.shape[1]):
-                tok = int(toks_host[slot, k])
+            row = toks_host[slot]
+            # col 0 is this slot's entry token: the prefill's first token if
+            # freshly admitted (report it), else the already-reported last
+            first_pending = self._pending_first[slot]
+            self._pending_first[slot] = False
+            if first_pending:
+                tok0 = int(row[0])
+                req.tokens.append(tok0)
+                if req.on_token is not None:
+                    req.on_token(tok0, req)
+                if tok0 == req.eos_id or len(req.tokens) >= req.max_new_tokens:
+                    self._finish(req)
+            # mirror the device pos rule over the SAMPLED columns: pos
+            # advances each burst step until (and including) the first eos
+            sampled = row[1:]
+            adv = len(sampled)
+            for k in range(len(sampled)):
+                if int(sampled[k]) == req.eos_id:
+                    adv = k + 1
+                    break
+            self.pos_host[slot] += adv
+            if req.done:
+                continue
+            for k in range(len(sampled)):
+                tok = int(sampled[k])
                 req.tokens.append(tok)
                 if req.on_token is not None:
                     req.on_token(tok, req)
                 if tok == req.eos_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(req)
                     break
-            if not req.done and int(pos_host[slot]) >= self.max_len - 1:
+            if not req.done and self.pos_host[slot] >= self.max_len - 1:
                 self._finish(req)
