@@ -35,12 +35,7 @@ def prefill_attention(q, k, v, impl: str = "auto"):
     b, h, t, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     on_tpu = jax.default_backend() == "tpu"
-    use_flash = (
-        impl in ("auto", "flash")
-        and on_tpu
-        and t >= 128
-        and t % 128 == 0
-    )
+    use_flash = impl in ("auto", "flash") and on_tpu and t >= 128
     if not use_flash:
         return _xla_causal(q, k, v, scale)
 
@@ -49,13 +44,27 @@ def prefill_attention(q, k, v, impl: str = "auto"):
         flash_attention,
     )
 
-    blk = min(t, 256)
+    # flash needs T % 128 == 0: pad with trailing zero tokens — causal
+    # masking means no REAL query ever attends a pad key (pad positions come
+    # after every real one), and pad-query rows are sliced off below.  The
+    # XLA fallback materializes the full (T, T) logits (e.g. ~278 MB of f32
+    # at T=1472), which used to silently swallow the whole prefill budget at
+    # non-multiple lengths like 729 image tokens + text.
+    tp = -(-t // 128) * 128
+    if tp != t:
+        pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    blk = min(tp, 256)
     sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk, block_q_dkv=blk,
         block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
     )
-    return flash_attention(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+    out = flash_attention(
+        q, k, v,
         causal=True, sm_scale=scale, block_sizes=sizes,
     ).astype(q.dtype)
+    return out[:, :, :t] if tp != t else out
