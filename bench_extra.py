@@ -548,6 +548,116 @@ def config7_engine_throughput():
     }
 
 
+def config8_7b_decode():
+    """7B-class decoder decode on ONE chip (BASELINE config 5 names the
+    7B-class model; the multi-host axis is exercised by dryrun_multichip —
+    this records the single-chip t/s and its speed-of-light fraction).
+
+    The whole point of 2-bit weights at this scale: the bf16 model
+    (~13.5 GB) wouldn't even fit next to its KV cache in v5e's 16 GB HBM,
+    the ternary one streams 1.7 GB/step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.serve.decode import decode_loop, prefill
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+    from ternary_vllm_tpu.utils.profiling import decode_step_bytes, HBM_GBPS
+
+    cfg = phi.PhiConfig(
+        vocab_size=51200,
+        hidden_size=4096,
+        intermediate_size=16384,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=32,
+        max_position_embeddings=4096,
+    )
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_hidden_layers + 2)
+
+    def mk(k, kdim, ndim):
+        return {
+            "packed": pack_ternary(jax.random.normal(k, (kdim, ndim), jnp.float32)),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": mk(ks[0], d, 3 * d),
+                "out_proj": mk(ks[1], d, d),
+                "fc1": mk(ks[2], d, f),
+                "fc2": mk(ks[3], f, d),
+            }
+        )
+        log(f"  7b layer {i} packed")
+    head = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": head,
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
+    )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    specs = phi.freeze_specs(specs)
+    jax.block_until_ready(params)
+    log("  7b params built")
+
+    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, 64, d)) * 0.1).astype(jnp.bfloat16)
+    steps = 64
+
+    def run():
+        cache = phi.init_cache(cfg, 1, 1024, jnp.bfloat16)
+        jax.block_until_ready(cache)
+        logits, cache = prefill(params, cfg, specs, cache, emb)
+        first = jnp.argmax(logits[:, 63], axis=-1).astype(jnp.int32)
+        first.block_until_ready()
+        t0 = time.perf_counter()
+        tokens, n, cache = decode_loop(
+            params, cfg, specs, cache, first, jnp.int32(64), max_steps=steps, eos_id=-1
+        )
+        np.asarray(tokens)
+        return time.perf_counter() - t0
+
+    run()
+    log("  7b compiled")
+    dt = min(run() for _ in range(3))
+    tps = steps / dt
+    bts = decode_step_bytes(cfg, cache_len=128, quantize_lm_head=False)
+    bts["lm_head_bytes"] = cfg.hidden_size * cfg.vocab_size  # int8 head
+    total = bts["decoder_weight_bytes"] + bts["lm_head_bytes"] + bts["kv_cache_bytes"]
+    sol = (total / (HBM_GBPS["v5e"] * 1e9)) / (dt / steps)
+    return {
+        "metric": "ternary_7b_decode_tokens_per_s",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": None,
+        "note": f"4096h/16384f/32L (6.5B) w2a8 + int8 head, bf16 KV, batch 1;"
+        f" {sol*100:.0f}% of HBM speed-of-light ({total/1e9:.2f} GB/step);"
+        f" bf16 weights (13.5 GB) would not fit one v5e chip",
+    }
+
+
 CONFIGS = {
     "1_single_linear": config1_single_linear,
     "3_vit_throughput": config3_vit_throughput,
@@ -555,6 +665,7 @@ CONFIGS = {
     "5_image_prefill": config5_image_prefill,
     "6_qat_train_step": config6_qat_train_step,
     "7_engine_throughput": config7_engine_throughput,
+    "8_7b_decode": config8_7b_decode,
 }
 
 

@@ -32,11 +32,12 @@ from ternary_vllm_tpu.models import phi
 
 @dataclasses.dataclass
 class Request:
-    prompt_embeds: Any  # (1, T, D)
+    prompt_embeds: Any  # (1, T, D) — suffix only when ``prefix_id`` is set
     max_new_tokens: int = 64
     eos_id: int = -1
     request_id: int = 0
     on_token: Optional[Callable[[int, "Request"], None]] = None  # streaming cb
+    prefix_id: Optional[int] = None  # shared-prefix KV (see register_prefix)
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -128,6 +129,53 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     return toks_all, cache, pos  # (B, 1 + n_steps)
 
 
+@partial(jax.jit, static_argnames=("config", "specs", "bucket"))
+def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket):
+    """Prefill a shared PREFIX (system prompt / image embeddings) once;
+    returns its stacked KV block (L, 1, H, bucket, hd) for reuse by
+    :func:`_prefill_suffix_into`.  Slots past ``prompt_len`` hold pad-token
+    KV that suffix prefill overwrites / never attends (same argument as
+    bucketed prompt padding)."""
+    del prompt_len  # kept in host metadata; padding slots are harmless
+    cache = phi.init_cache(config, 1, bucket, jnp.bfloat16)
+    _, cache = phi.forward(params, config, specs, embeds, cache, 0)
+    ks = jnp.stack([kv[0] for kv in cache])
+    vs = jnp.stack([kv[1] for kv in cache])
+    return ks, vs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "specs", "pbucket", "sbucket"),
+    donate_argnums=(6,),
+)
+def _prefill_suffix_into(
+    params, config, specs, suffix_emb, pks, pvs, cache, slot, tokens, pos,
+    prefix_len, suffix_len, *, pbucket, sbucket,
+):
+    """Admission with a cached prefix, in ONE dispatch: seed a local cache
+    with the prefix KV block, prefill only the suffix at ``pos=prefix_len``
+    (its writes land contiguously after the live prefix, overwriting prefix
+    pad slots), splice into the engine cache, record the first token."""
+    local = phi.init_cache(config, 1, pbucket + sbucket, jnp.bfloat16)
+    seeded = []
+    for i, (lk, lv) in enumerate(local):
+        lk = jax.lax.dynamic_update_slice(lk, pks[i].astype(lk.dtype), (0, 0, 0, 0))
+        lv = jax.lax.dynamic_update_slice(lv, pvs[i].astype(lv.dtype), (0, 0, 0, 0))
+        seeded.append((lk, lv))
+    logits, seeded = phi.forward(params, config, specs, suffix_emb, seeded, prefix_len)
+    new_cache = []
+    for (ck, cv), (lk, lv) in zip(cache, seeded):
+        ck = jax.lax.dynamic_update_slice(ck, lk.astype(ck.dtype), (slot, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, lv.astype(cv.dtype), (slot, 0, 0, 0))
+        new_cache.append((ck, cv))
+    last = jax.lax.dynamic_index_in_dim(logits[0], suffix_len - 1, axis=0, keepdims=False)
+    first = jnp.argmax(last).astype(jnp.int32)
+    tokens = tokens.at[slot].set(first)
+    pos = pos.at[slot].set(prefix_len + suffix_len)
+    return new_cache, tokens, pos
+
+
 @partial(jax.jit, static_argnames=("config", "specs", "temperature"), donate_argnums=(3,))
 def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, active):
     """One batched decode step over all slots.
@@ -179,6 +227,10 @@ class Engine:
         self.queue: deque[Request] = deque()
         self._ids = itertools.count()
         self.completed: List[Request] = []
+        # prefix cache: id -> (ks, vs, prefix_len, bucket); the KV of a shared
+        # prompt prefix (system prompt / image embeddings) prefilled ONCE
+        self._prefixes: Dict[int, Any] = {}
+        self._prefix_ids = itertools.count()
 
     # -- public API ---------------------------------------------------------
 
@@ -188,19 +240,48 @@ class Engine:
         max_new_tokens: int = 64,
         eos_id: int = -1,
         on_token: Optional[Callable[[int, Request], None]] = None,
+        prefix_id: Optional[int] = None,
     ) -> int:
         """Queue a request; ``on_token(token_id, request)`` streams each token
-        as it is produced (called from ``step`` on the host)."""
+        as it is produced (called from ``step`` on the host).  With
+        ``prefix_id`` (from :meth:`register_prefix`), ``prompt_embeds`` is the
+        SUFFIX only — the prefix KV is spliced from the cache instead of
+        recomputed (the reference recomputes its 729-token image prefill for
+        every question, ``test_tflite.py:104-127``)."""
+        if prefix_id is not None and prefix_id not in self._prefixes:
+            raise KeyError(f"unknown prefix_id {prefix_id}")
         req = Request(
             prompt_embeds=prompt_embeds,
             max_new_tokens=max_new_tokens,
             eos_id=eos_id,
             on_token=on_token,
+            prefix_id=prefix_id,
             request_id=next(self._ids),
             submit_time=time.perf_counter(),
         )
         self.queue.append(req)
         return req.request_id
+
+    def register_prefix(self, prefix_embeds) -> int:
+        """Prefill a shared prompt prefix (system prompt, image embeddings)
+        ONCE and cache its KV block; returns an id for ``add_request``.
+        Cost per reuse drops from a full prefix prefill to one KV splice."""
+        t = prefix_embeds.shape[1]
+        b = self._bucket(t)
+        emb = np.asarray(prefix_embeds)
+        if b > t:
+            emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
+        ks, vs = _prefill_prefix(
+            self.params, self.config, self.specs, jnp.asarray(emb),
+            jnp.int32(t), bucket=b,
+        )
+        pid = next(self._prefix_ids)
+        self._prefixes[pid] = (ks, vs, t, b)
+        return pid
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        """Release a cached prefix's device memory."""
+        self._prefixes.pop(prefix_id, None)
 
     def run(self, max_iters: int = 10_000) -> List[Request]:
         """Drive until queue and slots drain; returns completed requests."""
@@ -240,11 +321,25 @@ class Engine:
                 emb = np.asarray(emb)
                 emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
             emb = jnp.asarray(emb)
-            self.cache, self.tokens, self.pos = _prefill_into(
-                self.params, self.config, self.specs, emb, self.cache,
-                jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
-            )
-            self.pos_host[slot] = t
+            if req.prefix_id is not None:
+                pks, pvs, plen, pbucket = self._prefixes[req.prefix_id]
+                if pbucket + b > self.max_len:
+                    raise ValueError(
+                        f"prefix bucket {pbucket} + suffix bucket {b} exceeds "
+                        f"max_len {self.max_len}"
+                    )
+                self.cache, self.tokens, self.pos = _prefill_suffix_into(
+                    self.params, self.config, self.specs, emb, pks, pvs,
+                    self.cache, jnp.int32(slot), self.tokens, self.pos,
+                    jnp.int32(plen), jnp.int32(t), pbucket=pbucket, sbucket=b,
+                )
+                self.pos_host[slot] = plen + t
+            else:
+                self.cache, self.tokens, self.pos = _prefill_into(
+                    self.params, self.config, self.specs, emb, self.cache,
+                    jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
+                )
+                self.pos_host[slot] = t
             req.slot = slot
             self.slots[slot] = req
             self._pending_first[slot] = True

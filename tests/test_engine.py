@@ -82,3 +82,57 @@ def test_engine_eos_stops_early():
     out = eng2.run()[0]
     assert out.tokens[-1] == eos
     assert len(out.tokens) == 2
+
+
+def test_engine_prefix_cache_matches_full_prompt():
+    """A request admitted as (cached prefix KV + suffix prefill) must produce
+    the same greedy tokens as the same prompt prefilled whole."""
+    params, specs = _setup()
+    rng = np.random.default_rng(0)
+    prefix_ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (1, 6)))
+    suffix_ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (1, 3)))
+    full_emb = phi.embed_tokens(params, jnp.concatenate([prefix_ids, suffix_ids], axis=1))
+
+    eng_full = Engine(params, CFG, specs, max_batch=2, max_len=64, buckets=(4, 8, 16))
+    eng_full.add_request(full_emb, max_new_tokens=6)
+    ref = eng_full.run()[0].tokens
+
+    eng = Engine(params, CFG, specs, max_batch=2, max_len=64, buckets=(4, 8, 16))
+    pid = eng.register_prefix(phi.embed_tokens(params, prefix_ids))
+    eng.add_request(phi.embed_tokens(params, suffix_ids), max_new_tokens=6, prefix_id=pid)
+    got = eng.run()[0].tokens
+    assert got == ref
+
+
+def test_engine_prefix_reused_across_requests():
+    """Many suffixes over one registered prefix: each matches its own
+    full-prompt run, and slots stay isolated."""
+    params, specs = _setup()
+    rng = np.random.default_rng(1)
+    prefix_ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (1, 5)))
+    suffixes = [jnp.asarray(rng.integers(1, CFG.vocab_size, (1, n))) for n in (2, 3, 4)]
+
+    refs = []
+    for s in suffixes:
+        e = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(4, 8, 16))
+        e.add_request(
+            phi.embed_tokens(params, jnp.concatenate([prefix_ids, s], axis=1)),
+            max_new_tokens=5,
+        )
+        refs.append(e.run()[0].tokens)
+
+    eng = Engine(params, CFG, specs, max_batch=4, max_len=64, buckets=(4, 8, 16))
+    pid = eng.register_prefix(phi.embed_tokens(params, prefix_ids))
+    for s in suffixes:
+        eng.add_request(phi.embed_tokens(params, s), max_new_tokens=5, prefix_id=pid)
+    done = sorted(eng.run(), key=lambda r: r.request_id)
+    assert [r.tokens for r in done] == refs
+
+
+def test_engine_unknown_prefix_rejected():
+    params, specs = _setup()
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,))
+    import pytest
+
+    with pytest.raises(KeyError):
+        eng.add_request(jnp.zeros((1, 2, CFG.hidden_size)), prefix_id=99)
