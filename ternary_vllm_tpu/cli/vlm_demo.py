@@ -33,6 +33,12 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--quantization", default="ternary")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument(
+        "--questions", type=int, default=1,
+        help="N>1: serve N questions about the SAME image through the "
+        "continuous-batching engine with the image prefix KV cached once "
+        "(the reference re-prefills its 729 image tokens per question)",
+    )
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -68,6 +74,37 @@ def main(argv=None):
         q_ids = jnp.asarray(np.load(args.question_ids))[None, :]
     else:
         q_ids = jnp.asarray([[5, 6, 7, 8]])
+
+    if args.questions > 1:
+        from ternary_vllm_tpu.serve.engine import Engine
+
+        prefix = vlm.splice_prompt(
+            params, img_embs, jnp.zeros((1, 0), jnp.int32),
+            jnp.zeros((1, 0), jnp.int32), bos_id=1,
+        )
+        plen = prefix.shape[1]
+        cap = 2 * max(256, plen + 64) if not args.tiny else 128
+        eng = Engine(params["text"], cfg.text, pspecs, max_batch=4, max_len=cap,
+                     burst=8, buckets=(8, 16, 32, 64, 128, 256, 512, 1024))
+        t0 = time.perf_counter()
+        pid = eng.register_prefix(prefix)
+        print(f"image prefix ({plen} tokens) prefilled+cached once "
+              f"in {time.perf_counter()-t0:.2f}s")
+        rng = np.random.default_rng(0)
+        for i in range(args.questions):
+            qi = jnp.asarray(rng.integers(2, cfg.text.vocab_size, (1, int(q_ids.shape[1]))))
+            eng.add_request(phi.embed_tokens(params["text"], qi),
+                            max_new_tokens=args.max_new_tokens, prefix_id=pid)
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        gen = sum(len(r.tokens) for r in done)
+        for r in sorted(done, key=lambda r: r.request_id):
+            print(f"  q{r.request_id}: {r.tokens}")
+        print(f"{args.questions} questions, {gen} tokens in {dt:.2f}s "
+              f"-> {gen/dt:.1f} t/s aggregate (image encoded+prefilled once)")
+        return
+
     prompt = vlm.splice_prompt(params, img_embs, jnp.zeros((1, 0), jnp.int32), q_ids, bos_id=1)
 
     dec = Decoder(params["text"], cfg.text, pspecs,

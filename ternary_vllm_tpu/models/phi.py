@@ -105,6 +105,11 @@ _DEBUG_SKIP_CACHE_WRITE = False
 #: names of the quantizable linears inside one decoder layer
 QUANT_LINEARS = ("wqkv", "out_proj", "fc1", "fc2")
 
+#: decode path (t==1, bf16 cache): fuse rope + KV-cache write + flash
+#: attention into ONE Pallas dispatch per layer (ops/fused_decode_attention);
+#: False falls back to rope -> dynamic_update_slice -> decode_attention.
+USE_FUSED_DECODE_ATTENTION = True
+
 
 def freeze_specs(specs):
     """tuple-of-dicts → hashable tuple-of-tuples (for use as a jit static arg)."""
@@ -378,6 +383,43 @@ def _decoder_layer(
     q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+
+    # single-token decode on a bf16 tuple cache: rope + cache write +
+    # attention fuse into one Pallas dispatch per layer
+    use_fused_attn = (
+        USE_FUSED_DECODE_ATTENTION
+        and kv is not None
+        and t == 1
+        and len(kv) == 2
+        and not _DEBUG_SKIP_CACHE_WRITE
+    )
+    if use_fused_attn:
+        from ternary_vllm_tpu.ops.fused_decode_attention import fused_decode_attention
+
+        rd = config.rotary_dim
+        cs = jnp.broadcast_to(cos.reshape(-1, rd), (b, rd))
+        sn = jnp.broadcast_to(sin.reshape(-1, rd), (b, rd))
+        attn, ck, cv = fused_decode_attention(
+            q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, kv[0], kv[1], pos,
+            rotary_dim=rd,
+        )
+        new_kv = (ck, cv)
+        attn = attn[:, :, None, :].transpose(0, 2, 1, 3).reshape(b, t, d)
+        if fused:
+            from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
+
+            o2 = p["out2"]
+            combined = dual_ternary_matmul(
+                attn, mlp_hidden, o2["packed"], d // 4,
+                o2["scale1"], o2["b1"], o2["scale2"], o2["b2"],
+                clip_val=spec["out2"].clip_val, impl=spec["out2"].impl,
+                a8=spec["out2"].a8,
+            )
+            return combined + x, new_kv
+        attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
+        mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
+        mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
+        return attn + mlp + x, new_kv
 
     q, k = apply_rotary(q, k, cos, sin, config.rotary_dim)
 

@@ -1,0 +1,92 @@
+"""Fused rope+cache-write+attention decode kernel vs the unfused path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ternary_vllm_tpu.ops.decode_attention import _decode_attention_xla
+from ternary_vllm_tpu.ops.fused_decode_attention import (
+    _fused_pallas,
+    _fused_xla,
+    fused_decode_attention,
+)
+
+B, H, KVH, HD, RD, T = 2, 8, 4, 64, 32, 256
+
+
+def _setup(seed=0, pos=(5, 130)):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    q = jax.random.normal(ks[0], (B, H, HD), jnp.float32)
+    k_new = jax.random.normal(ks[1], (B, KVH, HD), jnp.float32)
+    v_new = jax.random.normal(ks[2], (B, KVH, HD), jnp.float32)
+    kc = jax.random.normal(ks[3], (B, KVH, T, HD), jnp.float32)
+    vc = jax.random.normal(ks[4], (B, KVH, T, HD), jnp.float32)
+    pos_v = jnp.asarray(pos, jnp.int32)
+    angles = jax.random.uniform(ks[5], (B, RD // 2), maxval=3.0)
+    ang = jnp.concatenate([angles, angles], axis=1)
+    return q, k_new, v_new, jnp.cos(ang), jnp.sin(ang), kc, vc, pos_v
+
+
+def _reference(q, k_new, v_new, cos, sin, kc, vc, pos):
+    """Independent reference: rope (phi convention) + scatter + masked softmax."""
+
+    def rope(x, c, s):
+        xr, xp = x[..., :RD], x[..., RD:]
+        half = RD // 2
+        rot = jnp.concatenate([-xr[..., half:], xr[..., :half]], axis=-1)
+        return jnp.concatenate([xr * c[:, None] + rot * s[:, None], xp], axis=-1)
+
+    qr = rope(q, cos, sin)
+    kr = rope(k_new, cos, sin)
+    kc2 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u[:, None], (0, p, 0)))(
+        kc, kr, pos
+    )
+    vc2 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u[:, None], (0, p, 0)))(
+        vc, v_new, pos
+    )
+    attn = _decode_attention_xla(qr, kc2, vc2, pos)
+    return attn, kc2, vc2
+
+
+@pytest.mark.parametrize("pos", [(5, 130), (0, 255), (127, 128)])
+def test_fused_xla_matches_reference(pos):
+    args = _setup(pos=pos)
+    ref = _reference(*args)
+    got = _fused_xla(*args, rotary_dim=RD)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pos", [(5, 130), (0, 255), (127, 128)])
+def test_fused_pallas_interpret_matches_reference(pos):
+    args = _setup(pos=pos)
+    ref = _reference(*args)
+    q, k_new, v_new, cos, sin, kc, vc, pos_v = args
+    got = _fused_pallas(
+        q, k_new, v_new, cos, sin, kc, vc, pos_v,
+        rotary_dim=RD, chunk=128, interpret=True,
+    )
+    names = ("attn", "k_cache", "v_cache")
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-5, err_msg=name
+        )
+
+
+def test_dispatcher_falls_back_off_tpu():
+    args = _setup()
+    out = fused_decode_attention(*args, rotary_dim=RD)
+    ref = _reference(*args)
+    for r, g in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
+def test_scalar_pos_broadcasts():
+    q, k_new, v_new, cos, sin, kc, vc, _ = _setup(pos=(9, 9))
+    ref = _reference(q, k_new, v_new, cos, sin, kc, vc, jnp.asarray([9, 9], jnp.int32))
+    got = fused_decode_attention(
+        q, k_new, v_new, cos, sin, kc, vc, jnp.int32(9), rotary_dim=RD
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5)
