@@ -37,7 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--a8", action="store_true",
                    help="mark specs for the int8-activation (w2a8) kernel (q2 only)")
     p.add_argument("--int8-head", action="store_true",
-                   help="quantize the lm_head to w8a8 int8")
+                   help="quantize the lm_head to w8a8 int8 (same as --head q8)")
+    p.add_argument("--head", default=None, choices=["q8", "q4"],
+                   help="lm_head quantization: q8 (w8a8) or q4 (planar-int4 w4a8)")
     p.add_argument("--start-skip", type=int, default=0)
     p.add_argument("--last-skip", type=int, default=0)
     p.add_argument("--export-signatures", action="store_true")
@@ -73,10 +75,15 @@ def main(argv=None):
         from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
 
         packed, pspecs = fuse_packed_decoder_params(packed, pspecs)
-    if args.int8_head:
+    head_fmt = args.head or ("q8" if args.int8_head else None)
+    if head_fmt == "q8":
         from ternary_vllm_tpu.quant.quantize import quantize_lm_head_int8
 
         packed = quantize_lm_head_int8(packed)
+    elif head_fmt == "q4":
+        from ternary_vllm_tpu.quant.quantize import quantize_lm_head_int4
+
+        packed = quantize_lm_head_int4(packed)
     if args.variant != "auto":
         import dataclasses
 

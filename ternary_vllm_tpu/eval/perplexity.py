@@ -53,18 +53,24 @@ def compare_quantization(
     packed: bool = True,
     a8: bool = False,
     int8_head: bool = False,
+    head_fmt: str = None,
 ) -> Dict[str, float]:
     """FP baseline vs calibrated-quantized (optionally packed) on the same
     data.  Returns {fp_loss, quant_loss, delta, fp_ppl, quant_ppl,
     rel_ppl_increase}.  ``a8`` additionally quantizes activations to int8
-    (the w2a8 kernel path); ``int8_head`` quantizes the lm_head to w8a8 —
-    both so their extra quantization error shows up in the gate."""
+    (the w2a8 kernel path); ``int8_head``/``head_fmt`` quantizes the lm_head
+    (``"q8"`` = w8a8, ``"q4"`` = planar-int4 w4a8) — so their extra
+    quantization error shows up in the gate."""
     from ternary_vllm_tpu.quant.quantize import (
         QuantConfig,
         pack_decoder_params,
         quantize_decoder_params,
+        quantize_lm_head_int4,
         quantize_lm_head_int8,
     )
+
+    if head_fmt is None and int8_head:
+        head_fmt = "q8"
 
     qc = qc or QuantConfig()
     dense_specs = phi.layer_specs(config)
@@ -73,8 +79,12 @@ def compare_quantization(
     qat_params, qat_specs = quantize_decoder_params(dense_params, config, qc)
     if packed and qc.quantization != "smoothBinary":
         qat_params, qat_specs = pack_decoder_params(qat_params, qat_specs, k_multiple=4, a8=a8)
-        if int8_head:
+        if head_fmt == "q8":
             qat_params = quantize_lm_head_int8(qat_params)
+        elif head_fmt == "q4":
+            qat_params = quantize_lm_head_int4(qat_params)
+        elif head_fmt is not None:
+            raise ValueError(f"unknown head_fmt {head_fmt!r}; expected 'q8' or 'q4'")
     q_loss = evaluate_loss(qat_params, config, qat_specs, batches)
 
     fp_ppl, q_ppl = float(np.exp(fp_loss)), float(np.exp(q_loss))

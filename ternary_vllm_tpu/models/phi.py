@@ -351,7 +351,9 @@ def _decoder_layer(
     kvh = config.num_key_value_heads
     fused = "in_proj" in spec
 
-    hidden = _layer_norm(p["ln"], x, config.layer_norm_eps)
+    # fused path: the LN moves into the in_proj kernel prologue (one fewer
+    # XLA dispatch per layer at decode); other paths need hidden explicitly
+    hidden = None if fused else _layer_norm(p["ln"], x, config.layer_norm_eps)
 
     if _DEBUG_SKIP_ATTENTION and not fused:
         qkv = apply_linear(spec["wqkv"], p["wqkv"], hidden)
@@ -365,7 +367,7 @@ def _decoder_layer(
         from ternary_vllm_tpu.ops.ternary_matmul import quantized_matmul as _qm
 
         both = _qm(
-            hidden,
+            x,
             p["in_proj"]["packed"],
             mode="ternary",
             scale=p["in_proj"]["scale"],
@@ -375,6 +377,8 @@ def _decoder_layer(
             act_split=3 * d,
             impl=spec["in_proj"].impl,
             a8=spec["in_proj"].a8,
+            ln=(p["ln"]["scale"], p["ln"]["bias"]),
+            ln_eps=config.layer_norm_eps,
         )
         qkv, mlp_hidden = both[..., : 3 * d], both[..., 3 * d :]
     else:
@@ -413,9 +417,9 @@ def _decoder_layer(
                 attn, mlp_hidden, o2["packed"], d // 4,
                 o2["scale1"], o2["b1"], o2["scale2"], o2["b2"],
                 clip_val=spec["out2"].clip_val, impl=spec["out2"].impl,
-                a8=spec["out2"].a8,
+                a8=spec["out2"].a8, residual=x,
             )
-            return combined + x, new_kv
+            return combined, new_kv
         attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
         mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
         mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
@@ -509,8 +513,9 @@ def _decoder_layer(
             clip_val=spec["out2"].clip_val,
             impl=spec["out2"].impl,
             a8=spec["out2"].a8,
+            residual=x,
         )
-        return combined + x, new_kv
+        return combined, new_kv
 
     attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
     mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
@@ -565,13 +570,25 @@ def lm_head(params, hidden, config: PhiConfig):
 
     If the linear was converted with ``quant.quantize.quantize_linear_int8``
     (params carry ``w_q`` instead of ``w``), uses the w8a8 int8 kernel — the
-    bf16 vocab projection otherwise dominates the decode step's fixed cost."""
-    h = _layer_norm(params["lm_head"]["ln"], hidden, config.layer_norm_eps)
+    bf16 vocab projection otherwise dominates the decode step's fixed cost;
+    the final LN fuses into that kernel's prologue."""
+    ln = params["lm_head"]["ln"]
     lin = params["lm_head"]["linear"]
     if "w_q" in lin:
         from ternary_vllm_tpu.ops.ternary_matmul import int8_matmul
 
-        return int8_matmul(h, lin["w_q"], lin["scale"], lin.get("b"))
+        return int8_matmul(
+            hidden, lin["w_q"], lin["scale"], lin.get("b"),
+            ln=(ln["scale"], ln["bias"]), ln_eps=config.layer_norm_eps,
+        )
+    if "w_q4p" in lin:  # int4 head (quant.quantize.quantize_lm_head_int4)
+        from ternary_vllm_tpu.ops.ternary_matmul import int4_matmul
+
+        return int4_matmul(
+            hidden, lin["w_q4p"], lin["scale"], lin.get("b"),
+            ln=(ln["scale"], ln["bias"]), ln_eps=config.layer_norm_eps,
+        )
+    h = _layer_norm(ln, hidden, config.layer_norm_eps)
     return apply_linear(DENSE, lin, h)
 
 

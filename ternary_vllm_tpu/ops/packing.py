@@ -189,6 +189,63 @@ def packed_q4_shape(k: int, n: int) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# int4 planar format (w4a8): 2 offset-coded int4 values per byte, planar-K.
+#
+# Same planar idea as the q2 format but with 2 planes of 4-bit fields: K is
+# padded to even, split into 2 contiguous planes of S = Kp/2 rows, and byte
+# ``packed[s, n]`` holds code(W[s, n]) in the LOW nibble and code(W[S+s, n])
+# in the HIGH nibble, with code = value + 8 ∈ [1, 15] (values clipped to
+# [-7, 7]; the symmetric range keeps per-channel absmax scales exact).
+#
+# Why not the q4 nibble-bitcast layout above: the w4a8 kernel keeps packed
+# bytes FOUR-PER-LANE (bitcast u8→i32, `& 0x0F0F0F0F` / `>> 4`, bitcast→i8)
+# so each plane unpacks with 2 lane-ops per FOUR bytes (8 weights) and feeds
+# the int8 MXU — the same VPU-wall-breaking trick as the w2a8 kernel.  The
+# code→value offset folds into the epilogue: x@W = Σₚ xₚ@codeₚ − 8·rowsum(x).
+# Used for int4-quantized dense layers (e.g. the lm_head, halving its HBM
+# bytes vs int8).
+# ---------------------------------------------------------------------------
+
+INT4_PLANES = 2
+
+
+@jax.jit
+def _pack_int4_planar_impl(q):
+    k, n = q.shape
+    kp = _round_up(k, INT4_PLANES)
+    s = kp // INT4_PLANES
+    c = (jnp.clip(jnp.round(q), -7, 7).astype(jnp.int32) + 8).astype(jnp.uint8)
+    if kp != k:
+        # pad with code 8 (= value 0, matmul-neutral)
+        c = jnp.concatenate([c, jnp.full((kp - k, n), 8, jnp.uint8)], axis=0)
+    planes = c.reshape(INT4_PLANES, s, n)
+    return planes[0] | (planes[1] << 4)
+
+
+def pack_int4_planar(q) -> jnp.ndarray:
+    """Pack int4-valued weights ``(K, N)`` (range [-7, 7]) into uint8
+    ``(ceil(K/2), N)`` in the planar-K offset-code layout (see above)."""
+    q = jnp.asarray(q)
+    if q.ndim != 2:
+        raise ValueError(f"pack_int4_planar expects 2D (K, N), got {q.shape}")
+    return _pack_int4_planar_impl(q)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dtype"))
+def unpack_int4_planar(packed, k: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4_planar`: uint8 ``(S, N)`` → ``(k, N)``."""
+    packed = jnp.asarray(packed).astype(jnp.int32)
+    lo = (packed & 0xF) - 8
+    hi = ((packed >> 4) & 0xF) - 8
+    full = jnp.concatenate([lo, hi], axis=0)
+    return full[:k].astype(dtype)
+
+
+def packed_int4_planar_shape(k: int, n: int) -> tuple[int, int]:
+    return (_round_up(k, INT4_PLANES) // INT4_PLANES, n)
+
+
+# ---------------------------------------------------------------------------
 # numpy variants for offline/host-side conversion (no device round-trip).
 # ---------------------------------------------------------------------------
 

@@ -348,15 +348,48 @@ def _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref, lo=None, hi=None):
     xs_ref[:] = xs
 
 
+def _ln_rows(xf, lns, lnb, eps):
+    """LayerNorm over the last axis in f32 (same op sequence as
+    ``models.phi._layer_norm``: mean, mean-of-squared-deviation, rsqrt)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * lns.astype(jnp.float32) + lnb.astype(jnp.float32)
+
+
+def _ln_quantize_rows_in_kernel(x_ref, lns_ref, lnb_ref, eps, xq_ref, xs_ref):
+    """Fused LayerNorm -> per-row int8 quantization prologue.
+
+    Folding the pre-matmul LayerNorm into the kernel (the parallel Phi block
+    feeds ``ln(x)`` into Wqkv/fc1, reference ``layers.py:332-348``) removes
+    one XLA reduce+elementwise fusion dispatch per layer per decode step.
+    The LN result round-trips through the activation dtype (bf16) so the
+    quantization sees exactly what the unfused ``_layer_norm`` path emits."""
+    h = _ln_rows(x_ref[:].astype(jnp.float32), lns_ref[:], lnb_ref[:], eps)
+    h = h.astype(x_ref.dtype).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    xq_ref[:] = jnp.clip(jnp.round(h / xs), -127, 127).astype(jnp.int8)
+    xs_ref[:] = xs
+
+
 def _w2a8_matmul_kernel(
-    x_ref, p_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref,
-    *, s, bs, n_kt, mode, clip_val, act, act_split=None, bn=None,
+    *refs, s, bs, n_kt, mode, clip_val, act, act_split=None, bn=None, ln_eps=None,
 ):
+    if ln_eps is None:
+        x_ref, p_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref = refs
+        lns_ref = lnb_ref = None
+    else:
+        (x_ref, p_ref, scale_ref, bias_ref, lns_ref, lnb_ref,
+         o_ref, xq_ref, xs_ref, acc_ref) = refs
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
-        _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
+        if ln_eps is None:
+            _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
+        else:
+            _ln_quantize_rows_in_kernel(x_ref, lns_ref, lnb_ref, ln_eps, xq_ref, xs_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     planes = _num_planes(mode)
@@ -394,12 +427,12 @@ def _w2a8_matmul_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mode", "clip_val", "act", "out_dtype", "bm", "bn", "bs", "act_split"
+        "mode", "clip_val", "act", "out_dtype", "bm", "bn", "bs", "act_split", "ln_eps"
     ),
 )
 def _w2a8_matmul_pallas(
-    x, packed, scale, bias, *, mode, clip_val, act, out_dtype, bm, bn, bs,
-    act_split=None,
+    x, packed, scale, bias, ln_scale=None, ln_bias=None, *, mode, clip_val, act,
+    out_dtype, bm, bn, bs, act_split=None, ln_eps=None,
 ):
     m, kp = x.shape
     s, n = packed.shape
@@ -407,22 +440,30 @@ def _w2a8_matmul_pallas(
     kernel = functools.partial(
         _w2a8_matmul_kernel,
         s=s, bs=bs, n_kt=n_kt, mode=mode, clip_val=clip_val, act=act,
-        act_split=act_split, bn=bn,
+        act_split=act_split, bn=bn, ln_eps=ln_eps,
     )
     cost = pl.CostEstimate(
         flops=2 * m * n * kp,
         bytes_accessed=s * n + m * kp + m * n * jnp.dtype(out_dtype).itemsize,
         transcendentals=m * n if act in ("gelu_new", "gelu", "silu") else 0,
     )
+    in_specs = [
+        pl.BlockSpec((bm, kp), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed, scale, bias]
+    if ln_eps is not None:
+        in_specs += [
+            pl.BlockSpec((1, kp), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [ln_scale, ln_bias]
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(m, bm), n // bn, n_kt),
-        in_specs=[
-            pl.BlockSpec((bm, kp), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[
@@ -434,7 +475,7 @@ def _w2a8_matmul_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
-    )(x, packed, scale, bias)
+    )(*operands)
 
 
 def _w2a8_matmul_xla(
@@ -466,14 +507,21 @@ def _w2a8_matmul_xla(
 # ---------------------------------------------------------------------------
 
 
-def _w8a8_matmul_kernel(
-    x_ref, w_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref, *, n_kt
-):
+def _w8a8_matmul_kernel(*refs, n_kt, ln_eps=None):
+    if ln_eps is None:
+        x_ref, w_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref = refs
+        lns_ref = lnb_ref = None
+    else:
+        (x_ref, w_ref, scale_ref, bias_ref, lns_ref, lnb_ref,
+         o_ref, xq_ref, xs_ref, acc_ref) = refs
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
-        _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
+        if ln_eps is None:
+            _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
+        else:
+            _ln_quantize_rows_in_kernel(x_ref, lns_ref, lnb_ref, ln_eps, xq_ref, xs_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     bk = w_ref.shape[0]
@@ -488,20 +536,31 @@ def _w8a8_matmul_kernel(
         o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
-def _w8a8_matmul_pallas(x, w_q, scale, bias, *, out_dtype, bm, bn, bk):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "ln_eps"))
+def _w8a8_matmul_pallas(
+    x, w_q, scale, bias, ln_scale=None, ln_bias=None,
+    *, out_dtype, bm, bn, bk, ln_eps=None,
+):
     m, k = x.shape
     _, n = w_q.shape
     n_kt = k // bk
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, w_q, scale, bias]
+    if ln_eps is not None:
+        in_specs += [
+            pl.BlockSpec((1, k), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [ln_scale, ln_bias]
     return pl.pallas_call(
-        functools.partial(_w8a8_matmul_kernel, n_kt=n_kt),
+        functools.partial(_w8a8_matmul_kernel, n_kt=n_kt, ln_eps=ln_eps),
         grid=(pl.cdiv(m, bm), n // bn, n_kt),
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[
@@ -512,13 +571,15 @@ def _w8a8_matmul_pallas(x, w_q, scale, bias, *, out_dtype, bm, bn, bk):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(x, w_q, scale, bias)
+    )(*operands)
 
 
-def int8_matmul(x, w_q, scale, bias=None, impl: str = "auto"):
-    """``y = (x @ w_q) * scale + bias`` with int8 weights and int8-quantized
+def int8_matmul(x, w_q, scale, bias=None, impl: str = "auto", ln=None, ln_eps: float = 1e-5):
+    """``y = (ln(x) @ w_q) * scale + bias`` with int8 weights and int8-quantized
     activations (w8a8).  ``w_q``: (K, N) int8; ``scale``: (N,) f32 per-output
     -channel dequantization scale (see ``quant.quantize.quantize_linear_int8``).
+    ``ln``: optional ``(ln_scale, ln_bias)`` — LayerNorm fused into the kernel
+    prologue (the lm_head's final LN, reference ``layers.py:363-373``).
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -535,13 +596,165 @@ def int8_matmul(x, w_q, scale, bias=None, impl: str = "auto"):
         bm = min(m, 128)
         bn = _pick_block(n, (2048, 1024, 512, 256, 128))
         bk = next((c for c in (2048, 1024, 512, 256, 128) if k % c == 0 and c * bn <= 4 * 1024 * 1024), 128)
+        lns = lnb = None
+        if ln is not None:
+            lns = ln[0].reshape(1, k).astype(jnp.float32)
+            lnb = ln[1].reshape(1, k).astype(jnp.float32)
         out = _w8a8_matmul_pallas(
-            x2, w_q, scale2, bias2, out_dtype=x.dtype, bm=bm, bn=bn, bk=bk
+            x2, w_q, scale2, bias2, lns, lnb, out_dtype=x.dtype, bm=bm, bn=bn, bk=bk,
+            ln_eps=ln_eps if ln is not None else None,
         )
     else:
+        if ln is not None:
+            x2 = _ln_rows(
+                x2.astype(jnp.float32), ln[0].reshape(1, k), ln[1].reshape(1, k), ln_eps
+            ).astype(x.dtype)
         xq, xscale = quantize_activations(x2)
         acc = jax.lax.dot_general(
             xq, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        out = (acc.astype(jnp.float32) * xscale * scale2 + bias2).astype(x.dtype)
+    return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# w4a8: planar-int4 weight matmul — halves the lm_head's HBM bytes vs w8a8.
+#
+# Same 4-bytes-per-lane unpack trick as w2a8, with 2 planes of 4-bit fields
+# (codes = value + 8, see ops/packing.py pack_int4_planar):
+#   bitcast u8 (BS, BN) -> i32 (BS/4, BN)
+#   lo plane:  w32        & 0x0F0F0F0F -> bitcast i8: rows [kt*BS, +BS)
+#   hi plane: (w32 >> 4)  & 0x0F0F0F0F -> bitcast i8: rows [S + kt*BS, +BS)
+#   int8 MXU dots, epilogue: (acc - 8*rowsum(xq)) * xs * scale + bias
+# ---------------------------------------------------------------------------
+
+
+def _w4a8_matmul_kernel(*refs, s, bs, n_kt, ln_eps=None):
+    if ln_eps is None:
+        x_ref, p_ref, scale_ref, bias_ref, o_ref, xq_ref, xs_ref, acc_ref = refs
+        lns_ref = lnb_ref = None
+    else:
+        (x_ref, p_ref, scale_ref, bias_ref, lns_ref, lnb_ref,
+         o_ref, xq_ref, xs_ref, acc_ref) = refs
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        if ln_eps is None:
+            _quantize_rows_in_kernel(x_ref, xq_ref, xs_ref)
+        else:
+            _ln_quantize_rows_in_kernel(x_ref, lns_ref, lnb_ref, ln_eps, xq_ref, xs_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w32 = pltpu.bitcast(p_ref[:], jnp.int32)  # (bs/4, bn): 4 packed bytes/lane
+    acc = acc_ref[:]
+    for t in range(2):
+        sh = w32 >> 4 if t else w32
+        c8 = pltpu.bitcast(sh & 0x0F0F0F0F, jnp.int8)  # codes in [1, 15]
+        xs = xq_ref[:, pl.ds(t * s + kt * bs, bs)]
+        acc = acc + jax.lax.dot_general(
+            xs, c8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+    acc_ref[:] = acc
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        rs = jnp.sum(xq_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+        accf = (acc_ref[:] - 8 * rs).astype(jnp.float32)
+        out = accf * xs_ref[:] * scale_ref[:] + bias_ref[:]
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bs", "ln_eps")
+)
+def _w4a8_matmul_pallas(
+    x, packed, scale, bias, ln_scale=None, ln_bias=None,
+    *, out_dtype, bm, bn, bs, ln_eps=None,
+):
+    m, kp = x.shape
+    s, n = packed.shape
+    n_kt = s // bs
+    in_specs = [
+        pl.BlockSpec((bm, kp), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed, scale, bias]
+    if ln_eps is not None:
+        in_specs += [
+            pl.BlockSpec((1, kp), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [ln_scale, ln_bias]
+    cost = pl.CostEstimate(
+        flops=2 * m * n * kp,
+        bytes_accessed=s * n + m * kp + m * n * jnp.dtype(out_dtype).itemsize,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        functools.partial(_w4a8_matmul_kernel, s=s, bs=bs, n_kt=n_kt, ln_eps=ln_eps),
+        grid=(pl.cdiv(m, bm), n // bn, n_kt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, kp), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(*operands)
+
+
+def int4_matmul(x, packed, scale, bias=None, impl: str = "auto", ln=None, ln_eps: float = 1e-5):
+    """``y = (ln(x) @ unpack_int4_planar(packed)) * scale + bias`` (w4a8).
+
+    ``packed``: uint8 ``(K/2, N)`` from ``ops.packing.pack_int4_planar``;
+    ``scale``: (N,) f32 per-output-channel dequantization scale (see
+    ``quant.quantize.quantize_linear_int4``).  Activations are int8-quantized
+    per row (in-kernel on the Pallas path).  ``ln``: optional fused LayerNorm
+    prologue, as in :func:`int8_matmul`."""
+    from ternary_vllm_tpu.ops.packing import unpack_int4_planar
+
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    s, n = packed.shape
+    kp = 2 * s
+    if k != kp:
+        raise ValueError(f"int4_matmul needs x K dim == 2*packed rows (got {k} vs {kp})")
+    m = math.prod(lead) if lead else 1
+    x2 = x.reshape(m, k)
+    scale2 = scale.reshape(1, n).astype(jnp.float32)
+    bias2 = (
+        jnp.zeros((1, n), jnp.float32) if bias is None
+        else bias.reshape(1, n).astype(jnp.float32)
+    )
+    aligned = (n % 128 == 0) and (s % 128 == 0)
+    if impl != "xla" and aligned and _on_tpu():
+        bm = min(m, 128)
+        bs_, bn_ = _pick_w2a8_blocks(bm, kp, s, n, x_itemsize=x2.dtype.itemsize)
+        lns = lnb = None
+        if ln is not None:
+            lns = ln[0].reshape(1, k).astype(jnp.float32)
+            lnb = ln[1].reshape(1, k).astype(jnp.float32)
+        out = _w4a8_matmul_pallas(
+            x2, packed, scale2, bias2, lns, lnb, out_dtype=x.dtype,
+            bm=bm, bn=bn_, bs=bs_, ln_eps=ln_eps if ln is not None else None,
+        )
+    else:
+        if ln is not None:
+            x2 = _ln_rows(
+                x2.astype(jnp.float32), ln[0].reshape(1, k), ln[1].reshape(1, k), ln_eps
+            ).astype(x.dtype)
+        xq, xscale = quantize_activations(x2)
+        w = unpack_int4_planar(packed, kp, dtype=jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         out = (acc.astype(jnp.float32) * xscale * scale2 + bias2).astype(x.dtype)
     return out.reshape(*lead, n)
@@ -670,13 +883,21 @@ def _dual_matmul_pallas(
 
 
 def _dual_w2a8_kernel(
-    x_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref,
-    xq_ref, xs1_ref, xs2_ref, acc1_ref, acc2_ref, *, s1, s2, bs, n_kt, clip_val,
+    *refs, s1, s2, bs, n_kt, clip_val, residual=False,
 ):
     """w2a8 variant of the dual kernel: bitcast 4-codes-per-lane unpack +
     int8 MXU dots with int32 accumulators (see the w2a8 section above); the
     two sources are int8-quantized in-kernel with separate per-row scales
-    and keep separate exact epilogues."""
+    and keep separate exact epilogues.  With ``residual``, a third operand is
+    added to the output in the epilogue (the parallel block's ``+ x``,
+    reference ``layers.py:347``) — saving one XLA add dispatch per layer."""
+    if residual:
+        (x_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, r_ref, o_ref,
+         xq_ref, xs1_ref, xs2_ref, acc1_ref, acc2_ref) = refs
+    else:
+        (x_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref,
+         xq_ref, xs1_ref, xs2_ref, acc1_ref, acc2_ref) = refs
+        r_ref = None
     kt = pl.program_id(2)
     k1_cols = 4 * s1
 
@@ -726,7 +947,10 @@ def _dual_w2a8_kernel(
         if clip_val is not None:
             y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
             y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
-        o_ref[:] = (y1 + y2).astype(o_ref.dtype)
+        out = (y1 + y2).astype(o_ref.dtype)
+        if r_ref is not None:
+            out = out + r_ref[:].astype(o_ref.dtype)
+        o_ref[:] = out
 
 
 @functools.partial(
@@ -734,7 +958,7 @@ def _dual_w2a8_kernel(
     static_argnames=("s1", "clip_val", "out_dtype", "bm", "bn", "bs"),
 )
 def _dual_w2a8_pallas(
-    x, packed, scale1, bias1, scale2, bias2,
+    x, packed, scale1, bias1, scale2, bias2, res=None,
     *, s1, clip_val, out_dtype, bm, bn, bs,
 ):
     m, ktot = x.shape
@@ -742,19 +966,27 @@ def _dual_w2a8_pallas(
     s2 = s_tot - s1
     n_kt = s_tot // bs
     kernel = functools.partial(
-        _dual_w2a8_kernel, s1=s1, s2=s2, bs=bs, n_kt=n_kt, clip_val=clip_val
+        _dual_w2a8_kernel, s1=s1, s2=s2, bs=bs, n_kt=n_kt, clip_val=clip_val,
+        residual=res is not None,
     )
+    in_specs = [
+        pl.BlockSpec((bm, ktot), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed, scale1, bias1, scale2, bias2]
+    if res is not None:
+        in_specs.append(
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(res)
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(m, bm), n // bn, n_kt),
-        in_specs=[
-            pl.BlockSpec((bm, ktot), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[
@@ -767,7 +999,7 @@ def _dual_w2a8_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(x, packed, scale1, bias1, scale2, bias2)
+    )(*operands)
 
 
 def _dual_w2a8_xla(xq, xs1, xs2, packed, sc1, b1, sc2, b2, *, s1, k1, k2, clip_val, out_dtype):
@@ -800,14 +1032,18 @@ def dual_ternary_matmul(
     clip_val: Optional[float] = 100.0,
     impl: str = "auto",
     a8: bool = False,
+    residual=None,
 ):
-    """``clip(x1 @ W1 * s1 + b1) + clip(x2 @ W2 * s2 + b2)`` in one kernel.
+    """``clip(x1 @ W1 * s1 + b1) + clip(x2 @ W2 * s2 + b2) [+ residual]``.
 
     ``packed_stacked``: ``vstack(pack_ternary(W1), pack_ternary(W2))`` — each
     weight packed separately (block-planar, same rule as sharded packing).
     ``s1``: packed-row count of the first block (= K1/4).
     ``a8``: quantize each source to int8 (separate per-row scales) and use
     the int8-MXU dual kernel.
+    ``residual``: optional ``(..., N)`` tensor added to the output — fused
+    into the kernel epilogue on the a8 Pallas path (the parallel block's
+    skip connection), plain add elsewhere.
     """
     lead = x1.shape[:-1]
     k1, k2 = x1.shape[-1], x2.shape[-1]
@@ -826,6 +1062,7 @@ def dual_ternary_matmul(
     bs = _pick_block(math.gcd(s1, s2), (512, 256, 128))
     aligned = bs is not None and n % 128 == 0 and s1 % 128 == 0 and s2 % 128 == 0
 
+    res2 = None if residual is None else residual.reshape(m, n)
     if a8:
         if impl != "xla" and aligned and _on_tpu():
             x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
@@ -837,7 +1074,7 @@ def dual_ternary_matmul(
                 x_itemsize=x.dtype.itemsize,
             )
             out = _dual_w2a8_pallas(
-                x, packed_stacked, sc1, b1, sc2, b2,
+                x, packed_stacked, sc1, b1, sc2, b2, res2,
                 s1=s1, clip_val=clip_val, out_dtype=dt, bm=bm, bn=bn, bs=bs,
             )
         else:
@@ -848,6 +1085,8 @@ def dual_ternary_matmul(
                 xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
                 s1=s1, k1=k1, k2=k2, clip_val=clip_val, out_dtype=dt,
             )
+            if res2 is not None:
+                out = out + res2.astype(dt)
         return out.reshape(*lead, n)
 
     x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
@@ -869,6 +1108,8 @@ def dual_ternary_matmul(
             y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
             y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
         out = (y1 + y2).astype(dt)
+    if res2 is not None:
+        out = out + res2.astype(dt)
     return out.reshape(*lead, n)
 
 
@@ -897,8 +1138,10 @@ def quantized_matmul(
     fmt: str = "q2",
     act_split: Optional[int] = None,
     a8: bool = False,
+    ln=None,
+    ln_eps: float = 1e-5,
 ):
-    """``y = act(clip((x @ unpack(packed)) * scale + bias, ±clip_val))``.
+    """``y = act(clip((ln(x) @ unpack(packed)) * scale + bias, ±clip_val))``.
 
     Args:
       x: activations ``(..., K)``, float (bf16/f32).
@@ -915,6 +1158,10 @@ def quantized_matmul(
       a8: quantize activations to int8 (per-row absmax) and use the
         int8-MXU kernel — ~1.5-1.8x faster at decode shapes (see the w2a8
         section above); adds one int8 quantization of x (~2^-8 relative).
+      ln: optional ``(ln_scale (K,), ln_bias (K,))`` — apply LayerNorm to x
+        before the matmul, fused into the a8 kernel prologue (saves one XLA
+        dispatch per call at decode); applied in XLA on fallback paths.
+      ln_eps: LayerNorm epsilon (only with ``ln``).
 
     Returns ``(..., N)`` in ``x.dtype``.
     """
@@ -932,6 +1179,11 @@ def quantized_matmul(
     k = x.shape[-1]
     if k > kp:
         raise ValueError(f"x K dim {k} exceeds packed capacity {kp}")
+    if ln is not None and k != kp:
+        raise ValueError(
+            f"ln fusion requires x K dim == packed capacity (got {k} vs {kp}): "
+            "LayerNorm over a zero-padded row is not the LayerNorm of the row"
+        )
     lead = x.shape[:-1]
     m = math.prod(lead) if lead else 1
     x2 = x.reshape(m, k)
@@ -949,12 +1201,24 @@ def quantized_matmul(
             bs_, bn_ = _pick_w2a8_blocks(
                 bm, kp, s, n, x_itemsize=x2.dtype.itemsize
             )
+            lns = lnb = None
+            if ln is not None:
+                lns = ln[0].reshape(1, kp).astype(jnp.float32)
+                lnb = ln[1].reshape(1, kp).astype(jnp.float32)
             out = _w2a8_matmul_pallas(
-                x2, packed, scale2, bias2,
+                x2, packed, scale2, bias2, lns, lnb,
                 mode=mode, clip_val=clip_val, act=act, out_dtype=dt,
                 bm=bm, bn=bn_, bs=bs_, act_split=act_split,
+                ln_eps=ln_eps if ln is not None else None,
             )
         else:
+            if ln is not None:
+                x2 = _ln_rows(
+                    x2.astype(jnp.float32),
+                    ln[0].reshape(1, kp),
+                    ln[1].reshape(1, kp),
+                    ln_eps,
+                ).astype(dt)
             xq, xscale = quantize_activations(x2)
             out = _w2a8_matmul_xla(
                 xq, xscale, packed, scale2, bias2,
@@ -962,6 +1226,11 @@ def quantized_matmul(
                 act_split=act_split,
             )
         return out.reshape(*lead, n)
+
+    if ln is not None:
+        x2 = _ln_rows(
+            x2.astype(jnp.float32), ln[0].reshape(1, kp), ln[1].reshape(1, kp), ln_eps
+        ).astype(dt)
 
     use_pallas = False
     if impl in ("auto", "pallas"):

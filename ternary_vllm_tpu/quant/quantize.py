@@ -109,6 +109,33 @@ def quantize_lm_head_int8(params):
     return out
 
 
+def quantize_linear_int4(p):
+    """Dense linear params ``{"w", "b"}`` → w4 params ``{"w_q4p", "scale", "b"}``
+    (per-output-channel symmetric absmax int4, planar-packed 2/byte — see
+    ``ops.packing.pack_int4_planar``).  Halves the lm_head's HBM bytes vs
+    int8; accuracy cost is larger (4-bit vocab projection), so this is the
+    opt-in throughput format — gate with ``eval.perplexity``."""
+    from ternary_vllm_tpu.ops.packing import pack_int4_planar
+
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -7, 7)
+    out = {"w_q4p": pack_int4_planar(w_q), "scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_lm_head_int4(params):
+    """Return params with the lm_head linear converted to int4 (w4a8 path)."""
+    out = dict(params)
+    lm = dict(params["lm_head"])
+    lm["linear"] = quantize_linear_int4(params["lm_head"]["linear"])
+    out["lm_head"] = lm
+    return out
+
+
 def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2", a8: bool = False):
     """QAT params → (packed params, packed specs) for inference.
 
@@ -252,19 +279,23 @@ def size_report(params, specs) -> dict:
             else:
                 n_other += sum(int(jnp.asarray(v).size) for v in jax.tree_util.tree_leaves(p))
     n_int8 = 0
+    n_int4 = 0
     for key in ("wte", "lm_head"):
         if key in params:
             for v in jax.tree_util.tree_leaves(params[key]):
                 if v.dtype == jnp.int8:  # int8-quantized lm_head (w8a8)
                     n_int8 += int(v.size)
+                elif v.dtype == jnp.uint8:  # planar-int4 lm_head (w4a8): 2/byte
+                    n_int4 += 2 * int(v.size)
                 else:
                     n_other += int(v.size)
-    total_bits = bits_q + n_other * 16 + n_int8 * 8
+    total_bits = bits_q + n_other * 16 + n_int8 * 8 + n_int4 * 4
     return {
         "quantized_params": n_q,
         "int8_params": n_int8,
+        "int4_params": n_int4,
         "other_params": n_other,
         "quantized_bits": bits_q,
         "total_gib": total_bits / 8 / 2**30,
-        "fp16_gib": (n_q + n_other + n_int8) * 2 / 2**30,
+        "fp16_gib": (n_q + n_other + n_int8 + n_int4) * 2 / 2**30,
     }

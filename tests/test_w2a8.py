@@ -300,3 +300,163 @@ def test_compare_quantization_a8_gate():
         params, cfg, batches, QuantConfig(), a8=True, int8_head=True
     )
     assert np.isfinite(rep["quant_loss"]) and np.isfinite(rep["rel_ppl_increase"])
+
+
+def _ln_np(x, s, b, eps=1e-5):
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return (xf - mu) / np.sqrt(var + eps) * np.asarray(s, np.float32) + np.asarray(b, np.float32)
+
+
+def test_quantized_matmul_ln_fusion_matches_explicit_ln():
+    """ln= kwarg == explicit LayerNorm then quantized_matmul (fallback path)."""
+    rng = np.random.default_rng(7)
+    K, N = 256, 128
+    w = rng.integers(-1, 2, (K, N)).astype(np.float32)
+    packed = pack_ternary(jnp.asarray(w))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (N,)), jnp.float32)
+    lns = jnp.asarray(rng.uniform(0.5, 1.5, (K,)), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.1, (K,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (3, K)), jnp.float32)
+
+    for a8 in (False, True):
+        fused = quantized_matmul(
+            x, packed, mode="ternary", scale=scale, clip_val=100.0,
+            a8=a8, ln=(lns, lnb), ln_eps=1e-5, impl="xla",
+        )
+        h = jnp.asarray(_ln_np(x, lns, lnb), jnp.float32)
+        explicit = quantized_matmul(
+            x=h, packed=packed, mode="ternary", scale=scale, clip_val=100.0,
+            a8=a8, impl="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32), np.asarray(explicit, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_quantized_matmul_ln_rejects_padded_k():
+    packed = pack_ternary(jnp.zeros((256, 128)))
+    x = jnp.zeros((2, 200))  # K < packed capacity -> zero-padding breaks LN
+    with pytest.raises(ValueError, match="ln fusion"):
+        quantized_matmul(
+            x, packed, mode="ternary", ln=(jnp.ones(200), jnp.zeros(200)),
+        )
+
+
+def test_dual_matmul_residual_fusion():
+    """residual= kwarg == dual matmul then + residual, both a8 and bf16."""
+    from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
+
+    rng = np.random.default_rng(8)
+    K1, K2, N = 128, 256, 128
+    w1 = rng.integers(-1, 2, (K1, N)).astype(np.float32)
+    w2 = rng.integers(-1, 2, (K2, N)).astype(np.float32)
+    pk = jnp.concatenate([pack_ternary(jnp.asarray(w1)), pack_ternary(jnp.asarray(w2))])
+    s1v = jnp.asarray(rng.uniform(0.5, 1.5, (N,)), jnp.float32)
+    s2v = jnp.asarray(rng.uniform(0.5, 1.5, (N,)), jnp.float32)
+    b1v = jnp.zeros((N,), jnp.float32)
+    b2v = jnp.zeros((N,), jnp.float32)
+    x1 = jnp.asarray(rng.normal(0, 1, (2, K1)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(0, 1, (2, K2)), jnp.float32)
+    res = jnp.asarray(rng.normal(0, 1, (2, N)), jnp.float32)
+
+    for a8 in (False, True):
+        with_res = dual_ternary_matmul(
+            x1, x2, pk, K1 // 4, s1v, b1v, s2v, b2v, a8=a8, residual=res, impl="xla",
+        )
+        without = dual_ternary_matmul(
+            x1, x2, pk, K1 // 4, s1v, b1v, s2v, b2v, a8=a8, impl="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(with_res), np.asarray(without + res), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_int8_matmul_ln_fusion():
+    rng = np.random.default_rng(9)
+    K, N = 128, 256
+    w = rng.normal(0, 0.02, (K, N)).astype(np.float32)
+    p8 = quantize_linear_int8({"w": jnp.asarray(w), "b": jnp.zeros((N,), jnp.float32)})
+    lns = jnp.asarray(rng.uniform(0.5, 1.5, (K,)), jnp.float32)
+    lnb = jnp.asarray(rng.normal(0, 0.1, (K,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (2, K)), jnp.float32)
+    fused = int8_matmul(x, p8["w_q"], p8["scale"], p8["b"], impl="xla", ln=(lns, lnb))
+    h = jnp.asarray(_ln_np(x, lns, lnb), jnp.float32)
+    explicit = int8_matmul(h, p8["w_q"], p8["scale"], p8["b"], impl="xla")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(explicit), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# w4a8 (planar int4) path
+# ---------------------------------------------------------------------------
+
+
+def test_int4_planar_roundtrip():
+    from ternary_vllm_tpu.ops.packing import pack_int4_planar, unpack_int4_planar
+
+    rng = np.random.default_rng(10)
+    for k in (6, 128, 257):  # odd K exercises padding
+        q = rng.integers(-7, 8, (k, 8)).astype(np.float32)
+        packed = pack_int4_planar(jnp.asarray(q))
+        assert packed.shape == ((k + 1) // 2, 8) and packed.dtype == jnp.uint8
+        back = unpack_int4_planar(packed, k)
+        np.testing.assert_array_equal(np.asarray(back), q)
+
+
+def test_int4_matmul_fallback_matches_reference_math():
+    from ternary_vllm_tpu.ops.ternary_matmul import int4_matmul
+    from ternary_vllm_tpu.quant.quantize import quantize_linear_int4
+
+    rng = np.random.default_rng(11)
+    K, N = 128, 256
+    w = rng.normal(0, 0.02, (K, N)).astype(np.float32)
+    p4 = quantize_linear_int4({"w": jnp.asarray(w), "b": jnp.zeros((N,), jnp.float32)})
+    assert p4["w_q4p"].shape == (K // 2, N)
+    x = jnp.asarray(rng.normal(0, 1, (2, K)), jnp.float32)
+    got = int4_matmul(x, p4["w_q4p"], p4["scale"], p4["b"], impl="xla")
+    want = np.asarray(x) @ w
+    # int4 weights + int8 activations: coarse but unbiased
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=0.25, atol=0.12)
+
+
+def test_int4_matmul_exact_integer_math():
+    """Kernel math identity: xq @ (codes - 8) == xq @ codes - 8*rowsum(xq)."""
+    from ternary_vllm_tpu.ops.packing import pack_int4_planar, unpack_int4_planar
+    from ternary_vllm_tpu.ops.ternary_matmul import int4_matmul
+
+    rng = np.random.default_rng(12)
+    K, N = 64, 128
+    q = rng.integers(-7, 8, (K, N)).astype(np.float32)
+    packed = pack_int4_planar(jnp.asarray(q))
+    scale = jnp.ones((N,), jnp.float32)
+    x = jnp.asarray(rng.integers(-50, 50, (3, K)).astype(np.float32))
+    got = int4_matmul(x, packed, scale, impl="xla")
+    # x is already integer-valued with |x| <= 127 after per-row quantization
+    # rescale: xq = round(x / xs) with xs = max|x|/127 -> got = xq@q * xs
+    xf = np.asarray(x, np.float32)
+    xs = np.maximum(np.abs(xf).max(-1, keepdims=True), 1e-6) / 127.0
+    xq = np.clip(np.round(xf / xs), -127, 127)
+    want = (xq @ q) * xs
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_lm_head_int4_in_forward():
+    from ternary_vllm_tpu.quant.quantize import quantize_lm_head_int4
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    specs = phi.layer_specs(cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.hidden_size)) * 0.1
+    ref_logits, _ = phi.forward(params, cfg, specs, emb)
+    q = quantize_lm_head_int4(params)
+    got_logits, _ = phi.forward(q, cfg, specs, emb)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=0.5, atol=0.2
+    )
+    # greedy tokens: int4 head should preserve most top-1 choices on this input
+    same = np.mean(
+        np.argmax(np.asarray(got_logits), -1) == np.argmax(np.asarray(ref_logits), -1)
+    )
+    assert same >= 0.8, f"int4 head flipped too many greedy tokens ({same:.0%} same)"
