@@ -158,11 +158,14 @@ def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis, a8=Fals
     b, t, d = x.shape
     hd = config.head_dim
 
-    hidden = phi._layer_norm(p["ln"], x, config.layer_norm_eps)
+    # LN feeds both Wqkv and fc1; fuse it into each kernel's prologue (the
+    # duplicated LN compute is row-sized — negligible — while the saved XLA
+    # dispatch per layer is not, at decode)
+    ln = (p["ln"]["scale"], p["ln"]["bias"])
     qkv = quantized_matmul(
-        hidden, p["wqkv"]["packed"], mode="ternary",
+        x, p["wqkv"]["packed"], mode="ternary",
         scale=p["wqkv"]["scale"], bias=p["wqkv"]["b"], clip_val=clip_val,
-        a8=a8,
+        a8=a8, ln=ln, ln_eps=config.layer_norm_eps,
     )
     # local layout: [q_loc | k_loc | v_loc] of this shard's heads
     dl = h_loc * hd
@@ -192,9 +195,9 @@ def _local_layer(p, config, x, cos, sin, kv, pos, h_loc, clip_val, axis, a8=Fals
         attn, p["out_proj"]["packed"], mode="ternary", clip_val=None, a8=a8
     )
     mlp_h = quantized_matmul(
-        hidden, p["fc1"]["packed"], mode="ternary",
+        x, p["fc1"]["packed"], mode="ternary",
         scale=p["fc1"]["scale"], bias=p["fc1"]["b"], clip_val=clip_val,
-        act=config.hidden_act, a8=a8,
+        act=config.hidden_act, a8=a8, ln=ln, ln_eps=config.layer_norm_eps,
     )
     mlp_part = quantized_matmul(
         mlp_h, p["fc2"]["packed"], mode="ternary", clip_val=None, a8=a8
