@@ -134,7 +134,7 @@ def worker(kind: str, batch: int) -> None:
     print(json.dumps({"kind": kind, "tps": tps}), flush=True)
 
 
-def measure(kind: str, batch: int, attempts: int = 5, timeout: int = 150) -> float:
+def measure(kind: str, batch: int, attempts: int = 5, timeout: int = 280) -> float:
     for i in range(attempts):
         try:
             proc = subprocess.run(

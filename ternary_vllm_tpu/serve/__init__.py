@@ -1,4 +1,16 @@
 from ternary_vllm_tpu.serve.decode import Decoder, greedy_generate
 from ternary_vllm_tpu.serve.sampling import sample_token
+from ternary_vllm_tpu.serve.speculative import (
+    ngram_propose,
+    speculative_decode_loop,
+    speculative_generate,
+)
 
-__all__ = ["Decoder", "greedy_generate", "sample_token"]
+__all__ = [
+    "Decoder",
+    "greedy_generate",
+    "sample_token",
+    "ngram_propose",
+    "speculative_decode_loop",
+    "speculative_generate",
+]
