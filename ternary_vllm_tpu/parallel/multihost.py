@@ -68,10 +68,31 @@ def hybrid_mesh(dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
     if dp * tp != len(jax.devices()):
         raise ValueError(f"dp*tp={dp*tp} != {len(jax.devices())} devices")
     if n_proc > 1:
+        shapes = _hybrid_factorization(dp, tp, n_proc)
         devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // n_proc if dp % n_proc == 0 else 1, tp),
-            dcn_mesh_shape=(n_proc if dp % n_proc == 0 else dp, 1),
+            mesh_shape=shapes["ici"], dcn_mesh_shape=shapes["dcn"]
         )
     else:
         devices = mesh_utils.create_device_mesh((dp, tp))
     return Mesh(devices, ("data", "model"))
+
+
+def _hybrid_factorization(dp: int, tp: int, n_proc: int) -> dict:
+    """Split a (dp, tp) logical mesh into per-slice (ICI) and cross-slice
+    (DCN) factors.  ``prod(dcn) == n_proc`` is required by
+    ``create_hybrid_device_mesh`` (one DCN granule per process).
+
+    Preferred: data spans processes (model stays on ICI).  If dp doesn't
+    divide evenly, the model axis is allowed to span processes (slow — DCN
+    collectives on the TP axis — but correct).  Anything else is an error,
+    not a silently-wrong mesh."""
+    if dp % n_proc == 0:
+        return {"ici": (dp // n_proc, tp), "dcn": (n_proc, 1)}
+    if n_proc % dp == 0 and tp % (n_proc // dp) == 0:
+        span = n_proc // dp  # processes the model axis must cross
+        return {"ici": (1, tp // span), "dcn": (dp, span)}
+    raise ValueError(
+        f"cannot factor mesh (dp={dp}, tp={tp}) over {n_proc} processes: "
+        "need dp % n_proc == 0 (data over DCN) or n_proc % dp == 0 with "
+        "tp % (n_proc//dp) == 0 (model spans DCN)"
+    )

@@ -46,29 +46,6 @@ class Request:
     finish_time: float = 0.0
 
 
-@partial(jax.jit, static_argnames=("config", "specs", "bucket"))
-def _prefill_one(params, config, specs, embeds, bucket):
-    """Prefill a single prompt (1, bucket, D) with a private cache sized to
-    the bucket; returns (first_token (1,), k/v stacks to splice into slots)."""
-    cache = phi.init_cache(config, 1, bucket, jnp.bfloat16)
-    logits, cache = phi.forward(params, config, specs, embeds, cache, 0)
-    ks = jnp.stack([kv[0] for kv in cache])  # (L, 1, H, bucket, hd)
-    vs = jnp.stack([kv[1] for kv in cache])
-    return logits, ks, vs
-
-
-@partial(jax.jit, donate_argnums=(3,))
-def _install_slot(params, ks, vs, cache, slot):
-    """Write a prefilled (L,1,H,bucket,hd) kv block into ``slot`` of the
-    engine cache."""
-    new_cache = []
-    for i, (ck, cv) in enumerate(cache):
-        ck = jax.lax.dynamic_update_slice(ck, ks[i].astype(ck.dtype), (slot, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vs[i].astype(cv.dtype), (slot, 0, 0, 0))
-        new_cache.append((ck, cv))
-    return new_cache
-
-
 @partial(
     jax.jit,
     static_argnames=("config", "specs", "bucket"),

@@ -91,3 +91,33 @@ def test_sharded_qat_train_step_runs():
         np.asarray(ref_params["layers"][0]["fc1"]["latent"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_hybrid_factorization():
+    """hybrid_mesh's DCN/ICI split must be valid for every reachable case
+    (VERDICT r1: the dp % n_proc != 0 branch used to silently build a wrong
+    mesh)."""
+    from ternary_vllm_tpu.parallel.multihost import _hybrid_factorization
+
+    # data over DCN (the normal layout)
+    f = _hybrid_factorization(dp=4, tp=4, n_proc=2)
+    assert f == {"ici": (2, 4), "dcn": (2, 1)}
+    # dp == n_proc
+    f = _hybrid_factorization(dp=2, tp=8, n_proc=2)
+    assert f == {"ici": (1, 8), "dcn": (2, 1)}
+    # model spans DCN (dp smaller than process count)
+    f = _hybrid_factorization(dp=1, tp=8, n_proc=2)
+    assert f == {"ici": (1, 4), "dcn": (1, 2)}
+    f = _hybrid_factorization(dp=2, tp=8, n_proc=4)
+    assert f == {"ici": (1, 4), "dcn": (2, 2)}
+    # invariant: prod(dcn) == n_proc, prod(ici)*prod(dcn) == dp*tp
+    for dp, tp, n in [(4, 4, 2), (2, 8, 2), (1, 8, 2), (2, 8, 4), (8, 2, 8)]:
+        f = _hybrid_factorization(dp, tp, n)
+        assert f["dcn"][0] * f["dcn"][1] == n
+        assert f["ici"][0] * f["dcn"][0] == dp
+        assert f["ici"][1] * f["dcn"][1] == tp
+    # unfactorable: explicit error, not a silently-wrong mesh
+    with pytest.raises(ValueError):
+        _hybrid_factorization(dp=3, tp=4, n_proc=2)
+    with pytest.raises(ValueError):
+        _hybrid_factorization(dp=2, tp=3, n_proc=4)
