@@ -199,9 +199,13 @@ def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     ``dtype="int8"`` selects the quantized cache (BASELINE north star:
     "activations and KV-cache stay INT8/BF16"): per-layer 4-tuples
     ``(k_q int8, k_scale, v_q int8, v_scale)`` with per-(b, head, position)
-    absmax scales — halves cache HBM traffic vs bf16."""
+    absmax scales — halves cache HBM traffic vs bf16.  Scales are stored
+    LANE-major ``(B, KVH, 1, T)`` so the attention kernels can scale the
+    logits (per-position, lane dim) instead of dequantizing K, and scale
+    the probabilities instead of dequantizing V — no (chunk, hd)-sized
+    dequant multiplies, and the scale reads vectorize along lanes."""
     shape = (batch, config.num_key_value_heads, max_len, config.head_dim)
-    sshape = (batch, config.num_key_value_heads, max_len, 1)
+    sshape = (batch, config.num_key_value_heads, 1, max_len)
     if dtype in ("int8", jnp.int8):
         return [
             (
@@ -219,15 +223,17 @@ def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
 
 
 def _quantize_kv(x):
-    """(..., hd) float -> (int8 codes, per-vector absmax scale)."""
+    """(B, KVH, T, hd) float -> (int8 codes, lane-major scale (B, KVH, 1, T))."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.bfloat16)
+    return q, scale.transpose(0, 1, 3, 2).astype(jnp.bfloat16)
 
 
 def _dequantize_kv(q, scale, dtype):
-    return (q.astype(dtype) * scale.astype(dtype)).astype(dtype)
+    """q (B, KVH, T, hd) int8, scale (B, KVH, 1, T) -> float (B, KVH, T, hd)."""
+    s = scale.transpose(0, 1, 3, 2).astype(dtype)
+    return (q.astype(dtype) * s).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -388,26 +394,39 @@ def _decoder_layer(
     k = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
 
-    # single-token decode on a bf16 tuple cache: rope + cache write +
-    # attention fuse into one Pallas dispatch per layer
+    # single-token decode on a bf16 tuple or int8 4-tuple cache: rope +
+    # (quantized) cache write + attention fuse into one Pallas dispatch/layer
     use_fused_attn = (
         USE_FUSED_DECODE_ATTENTION
         and kv is not None
         and t == 1
-        and len(kv) == 2
+        and len(kv) in (2, 4)
         and not _DEBUG_SKIP_CACHE_WRITE
     )
     if use_fused_attn:
-        from ternary_vllm_tpu.ops.fused_decode_attention import fused_decode_attention
-
         rd = config.rotary_dim
         cs = jnp.broadcast_to(cos.reshape(-1, rd), (b, rd))
         sn = jnp.broadcast_to(sin.reshape(-1, rd), (b, rd))
-        attn, ck, cv = fused_decode_attention(
-            q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, kv[0], kv[1], pos,
-            rotary_dim=rd,
-        )
-        new_kv = (ck, cv)
+        if len(kv) == 4:
+            from ternary_vllm_tpu.ops.fused_decode_attention import (
+                fused_decode_attention_int8,
+            )
+
+            attn, *new_kv_arrays = fused_decode_attention_int8(
+                q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, *kv, pos,
+                rotary_dim=rd,
+            )
+            new_kv = tuple(new_kv_arrays)
+        else:
+            from ternary_vllm_tpu.ops.fused_decode_attention import (
+                fused_decode_attention,
+            )
+
+            attn, ck, cv = fused_decode_attention(
+                q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, kv[0], kv[1], pos,
+                rotary_dim=rd,
+            )
+            new_kv = (ck, cv)
         attn = attn[:, :, None, :].transpose(0, 2, 1, 3).reshape(b, t, d)
         if fused:
             from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
@@ -441,19 +460,28 @@ def _decoder_layer(
                 return jax.vmap(
                     lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, pp, 0))
                 )(c, u.astype(c.dtype), p)
+
+            def write_scale(c, u, p):  # scales are lane-major (B, KVH, 1, T)
+                return jax.vmap(
+                    lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, 0, pp))
+                )(c, u.astype(c.dtype), p)
         else:
             def write(c, u, p=pos):
                 return jax.lax.dynamic_update_slice(c, u.astype(c.dtype), (0, 0, p, 0))
+
+            def write_scale(c, u, p=pos):
+                return jax.lax.dynamic_update_slice(c, u.astype(c.dtype), (0, 0, 0, p))
 
         if len(kv) == 4:  # int8 quantized cache
             ck, cks, cv, cvs = kv
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
             if _is_vector_pos(pos):
-                ck, cks = write(ck, kq, pos), write(cks, ks, pos)
-                cv, cvs = write(cv, vq, pos), write(cvs, vs, pos)
+                ck, cks = write(ck, kq, pos), write_scale(cks, ks, pos)
+                cv, cvs = write(cv, vq, pos), write_scale(cvs, vs, pos)
             else:
-                ck, cks, cv, cvs = write(ck, kq), write(cks, ks), write(cv, vq), write(cvs, vs)
+                ck, cks = write(ck, kq), write_scale(cks, ks)
+                cv, cvs = write(cv, vq), write_scale(cvs, vs)
             new_kv = (ck, cks, cv, cvs)
             k_full = _dequantize_kv(ck, cks, x.dtype)
             v_full = _dequantize_kv(cv, cvs, x.dtype)

@@ -130,8 +130,11 @@ def _decode_attn_kernel_i8(
     pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
     *, chunk, groups, scale
 ):
-    """int8-cache variant: dequantize each chunk in VMEM (cast + per-position
-    scale multiply) — halves KV HBM traffic vs bf16."""
+    """int8-cache variant — halves KV HBM traffic vs bf16.  K is never
+    dequantized: the q·k dot runs on raw int8 codes (cast once) and the
+    per-position scale (lane-major (KVH, 1, chunk)) multiplies the LOGITS;
+    likewise V's scale multiplies the probabilities before the p·v dot —
+    mathematically identical, no (chunk, hd)-sized dequant multiplies."""
     bi = pl.program_id(0)
     c = pl.program_id(1)
     pos = pos_ref[bi]
@@ -148,11 +151,11 @@ def _decode_attn_kernel_i8(
         h, hd = q_ref.shape[1], q_ref.shape[2]
         kvh = kq_ref.shape[1]
         q = q_ref[0].astype(jnp.float32).reshape(kvh, groups, hd)
-        k = kq_ref[0].astype(jnp.float32) * ks_ref[0].astype(jnp.float32)
-        v = vq_ref[0].astype(jnp.float32) * vs_ref[0].astype(jnp.float32)
+        k = kq_ref[0].astype(jnp.float32)  # raw codes
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ) * scale
+        )  # (kvh, groups, chunk)
+        logits = logits * ks_ref[0].astype(jnp.float32) * scale  # (kvh,1,chunk) bcast
         logits = logits.reshape(h, chunk)
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
         logits = jnp.where(idx <= pos, logits, NEG_INF)
@@ -162,8 +165,9 @@ def _decode_attn_kernel_i8(
         corr = jnp.exp(m_prev - m_new)
         p = jnp.exp(logits - m_new)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        ps = p.reshape(kvh, groups, chunk) * vs_ref[0].astype(jnp.float32)
         pv = jax.lax.dot_general(
-            p.reshape(kvh, groups, chunk), v, (((2,), (1,)), ((0,), (0,))),
+            ps, vq_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(h, hd)
         acc_ref[:] = acc_ref[:] * corr + pv
@@ -185,15 +189,19 @@ def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 128):
     def kv_map(bi, c, pos):
         return (bi, 0, jnp.minimum(c, pos[bi] // chunk), 0)
 
+    def scale_map(bi, c, pos):
+        # scales are lane-major (B, KVH, 1, T): chunk index on the LAST dim
+        return (bi, 0, 0, jnp.minimum(c, pos[bi] // chunk))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, h, hd), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, chunk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, chunk), scale_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, chunk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, chunk), scale_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, h, hd), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM
@@ -221,14 +229,17 @@ def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 128):
 
 def decode_attention_int8(q, kq, ks, vq, vs, pos, chunk: int = 128, impl: str = "auto"):
     """Single-token attention against the int8-quantized cache
-    (``phi.init_cache(..., dtype="int8")`` layout)."""
+    (``phi.init_cache(..., dtype="int8")`` layout: codes (B, KVH, T, hd),
+    scales lane-major (B, KVH, 1, T))."""
     t = kq.shape[2]
     shapes_ok = t % chunk == 0 and t >= chunk
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = shapes_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
     if not use_pallas:
-        k = (kq.astype(jnp.float32) * ks.astype(jnp.float32)).astype(q.dtype)
-        v = (vq.astype(jnp.float32) * vs.astype(jnp.float32)).astype(q.dtype)
+        ks_t = ks.transpose(0, 1, 3, 2).astype(jnp.float32)  # (B, KVH, T, 1)
+        vs_t = vs.transpose(0, 1, 3, 2).astype(jnp.float32)
+        k = (kq.astype(jnp.float32) * ks_t).astype(q.dtype)
+        v = (vq.astype(jnp.float32) * vs_t).astype(q.dtype)
         return _decode_attention_xla(q, k, v, pos)
     return _decode_attention_pallas_i8(q, kq, ks, vq, vs, jnp.asarray(pos), chunk=chunk)
 

@@ -46,29 +46,41 @@ class Request:
     finish_time: float = 0.0
 
 
+def _splice_slot(cache, local, slot):
+    """Write a 1-row local cache into row ``slot`` of the engine cache.
+    Tuple-generic: works for bf16 (k, v) pairs and int8 4-tuples alike —
+    every cache array is row-major on the batch dim."""
+    new_cache = []
+    for kv, lkv in zip(cache, local):
+        new_cache.append(tuple(
+            jax.lax.dynamic_update_slice(c, l.astype(c.dtype), (slot,) + (0,) * (c.ndim - 1))
+            for c, l in zip(kv, lkv)
+        ))
+    return new_cache
+
+
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "bucket"),
+    static_argnames=("config", "specs", "bucket", "cache_dtype"),
     donate_argnums=(4,),
 )
-def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket):
+def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16"):
     """Prefill + splice into the engine cache + record the first token, in
     ONE dispatch (this transport charges ~10-35 ms per host round-trip, so
     the old prefill→install→argmax-fetch admission cost 3 round trips per
     request).  ``slot`` and ``prompt_len`` are traced scalars — only the
     bucket shape recompiles."""
-    local = phi.init_cache(config, 1, bucket, jnp.bfloat16)
+    local = phi.init_cache(config, 1, bucket, _CACHE_DTYPES[cache_dtype])
     logits, local = phi.forward(params, config, specs, embeds, local, 0)
-    new_cache = []
-    for (ck, cv), (lk, lv) in zip(cache, local):
-        ck = jax.lax.dynamic_update_slice(ck, lk.astype(ck.dtype), (slot, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, lv.astype(cv.dtype), (slot, 0, 0, 0))
-        new_cache.append((ck, cv))
+    new_cache = _splice_slot(cache, local, slot)
     last = jax.lax.dynamic_index_in_dim(logits[0], prompt_len - 1, axis=0, keepdims=False)
     first = jnp.argmax(last).astype(jnp.int32)
     tokens = tokens.at[slot].set(first)
     pos = pos.at[slot].set(prompt_len)
     return new_cache, tokens, pos
+
+
+_CACHE_DTYPES = {"bf16": jnp.bfloat16, "int8": "int8"}
 
 
 @partial(
@@ -106,46 +118,42 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     return toks_all, cache, pos  # (B, 1 + n_steps)
 
 
-@partial(jax.jit, static_argnames=("config", "specs", "bucket"))
-def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket):
+@partial(jax.jit, static_argnames=("config", "specs", "bucket", "cache_dtype"))
+def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket, cache_dtype="bf16"):
     """Prefill a shared PREFIX (system prompt / image embeddings) once;
-    returns its stacked KV block (L, 1, H, bucket, hd) for reuse by
-    :func:`_prefill_suffix_into`.  Slots past ``prompt_len`` hold pad-token
-    KV that suffix prefill overwrites / never attends (same argument as
-    bucketed prompt padding)."""
+    returns its stacked per-array KV blocks (a tuple of (L, 1, ...) arrays,
+    one per cache-tuple element) for reuse by :func:`_prefill_suffix_into`.
+    Slots past ``prompt_len`` hold pad-token KV that suffix prefill
+    overwrites / never attends (same argument as bucketed prompt padding)."""
     del prompt_len  # kept in host metadata; padding slots are harmless
-    cache = phi.init_cache(config, 1, bucket, jnp.bfloat16)
+    cache = phi.init_cache(config, 1, bucket, _CACHE_DTYPES[cache_dtype])
     _, cache = phi.forward(params, config, specs, embeds, cache, 0)
-    ks = jnp.stack([kv[0] for kv in cache])
-    vs = jnp.stack([kv[1] for kv in cache])
-    return ks, vs
+    n = len(cache[0])
+    return tuple(jnp.stack([kv[i] for kv in cache]) for i in range(n))
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "pbucket", "sbucket"),
-    donate_argnums=(6,),
+    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype"),
+    donate_argnums=(5,),
 )
 def _prefill_suffix_into(
-    params, config, specs, suffix_emb, pks, pvs, cache, slot, tokens, pos,
-    prefix_len, suffix_len, *, pbucket, sbucket,
+    params, config, specs, suffix_emb, prefix_blocks, cache, slot, tokens, pos,
+    prefix_len, suffix_len, *, pbucket, sbucket, cache_dtype="bf16",
 ):
     """Admission with a cached prefix, in ONE dispatch: seed a local cache
     with the prefix KV block, prefill only the suffix at ``pos=prefix_len``
     (its writes land contiguously after the live prefix, overwriting prefix
     pad slots), splice into the engine cache, record the first token."""
-    local = phi.init_cache(config, 1, pbucket + sbucket, jnp.bfloat16)
+    local = phi.init_cache(config, 1, pbucket + sbucket, _CACHE_DTYPES[cache_dtype])
     seeded = []
-    for i, (lk, lv) in enumerate(local):
-        lk = jax.lax.dynamic_update_slice(lk, pks[i].astype(lk.dtype), (0, 0, 0, 0))
-        lv = jax.lax.dynamic_update_slice(lv, pvs[i].astype(lv.dtype), (0, 0, 0, 0))
-        seeded.append((lk, lv))
+    for i, lkv in enumerate(local):
+        seeded.append(tuple(
+            jax.lax.dynamic_update_slice(l, blk[i].astype(l.dtype), (0,) * l.ndim)
+            for l, blk in zip(lkv, prefix_blocks)
+        ))
     logits, seeded = phi.forward(params, config, specs, suffix_emb, seeded, prefix_len)
-    new_cache = []
-    for (ck, cv), (lk, lv) in zip(cache, seeded):
-        ck = jax.lax.dynamic_update_slice(ck, lk.astype(ck.dtype), (slot, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, lv.astype(cv.dtype), (slot, 0, 0, 0))
-        new_cache.append((ck, cv))
+    new_cache = _splice_slot(cache, seeded, slot)
     last = jax.lax.dynamic_index_in_dim(logits[0], suffix_len - 1, axis=0, keepdims=False)
     first = jnp.argmax(last).astype(jnp.int32)
     tokens = tokens.at[slot].set(first)
@@ -183,6 +191,7 @@ class Engine:
         seed: int = 0,
         buckets=(32, 64, 128, 256, 512, 1024),
         burst: int = 1,
+        cache_dtype: str = "bf16",
     ):
         self.params = params
         self.config = config
@@ -192,7 +201,10 @@ class Engine:
         self.temperature = temperature
         self.burst = burst  # fused decode steps per scheduling point
         self.buckets = tuple(b for b in buckets if b <= max_len)
-        self.cache = phi.init_cache(config, max_batch, max_len, jnp.bfloat16)
+        if cache_dtype not in _CACHE_DTYPES:
+            raise ValueError(f"cache_dtype must be one of {sorted(_CACHE_DTYPES)}")
+        self.cache_dtype = cache_dtype
+        self.cache = phi.init_cache(config, max_batch, max_len, _CACHE_DTYPES[cache_dtype])
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.pos = jnp.zeros((max_batch,), jnp.int32)
         # host mirror of per-slot positions (avoids a D2H fetch per step)
@@ -204,7 +216,7 @@ class Engine:
         self.queue: deque[Request] = deque()
         self._ids = itertools.count()
         self.completed: List[Request] = []
-        # prefix cache: id -> (ks, vs, prefix_len, bucket); the KV of a shared
+        # prefix cache: id -> (kv_blocks, prefix_len, bucket); the KV of a shared
         # prompt prefix (system prompt / image embeddings) prefilled ONCE
         self._prefixes: Dict[int, Any] = {}
         self._prefix_ids = itertools.count()
@@ -248,12 +260,12 @@ class Engine:
         emb = np.asarray(prefix_embeds)
         if b > t:
             emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
-        ks, vs = _prefill_prefix(
+        blocks = _prefill_prefix(
             self.params, self.config, self.specs, jnp.asarray(emb),
-            jnp.int32(t), bucket=b,
+            jnp.int32(t), bucket=b, cache_dtype=self.cache_dtype,
         )
         pid = next(self._prefix_ids)
-        self._prefixes[pid] = (ks, vs, t, b)
+        self._prefixes[pid] = (blocks, t, b)
         return pid
 
     def drop_prefix(self, prefix_id: int) -> None:
@@ -299,22 +311,24 @@ class Engine:
                 emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
             emb = jnp.asarray(emb)
             if req.prefix_id is not None:
-                pks, pvs, plen, pbucket = self._prefixes[req.prefix_id]
+                blocks, plen, pbucket = self._prefixes[req.prefix_id]
                 if pbucket + b > self.max_len:
                     raise ValueError(
                         f"prefix bucket {pbucket} + suffix bucket {b} exceeds "
                         f"max_len {self.max_len}"
                     )
                 self.cache, self.tokens, self.pos = _prefill_suffix_into(
-                    self.params, self.config, self.specs, emb, pks, pvs,
+                    self.params, self.config, self.specs, emb, blocks,
                     self.cache, jnp.int32(slot), self.tokens, self.pos,
                     jnp.int32(plen), jnp.int32(t), pbucket=pbucket, sbucket=b,
+                    cache_dtype=self.cache_dtype,
                 )
                 self.pos_host[slot] = plen + t
             else:
                 self.cache, self.tokens, self.pos = _prefill_into(
                     self.params, self.config, self.specs, emb, self.cache,
                     jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
+                    cache_dtype=self.cache_dtype,
                 )
                 self.pos_host[slot] = t
             req.slot = slot

@@ -136,3 +136,37 @@ def test_engine_unknown_prefix_rejected():
 
     with pytest.raises(KeyError):
         eng.add_request(jnp.zeros((1, 2, CFG.hidden_size)), prefix_id=99)
+
+
+def test_engine_int8_cache_matches_int8_decoder():
+    """Engine(cache_dtype='int8') greedy output equals the single-request
+    int8 Decoder (same quantized-cache numerics end to end), including the
+    prefix-cache admission path."""
+    params, specs = _setup()
+    prompt = jnp.asarray([[5, 6, 7]])
+    emb = phi.embed_tokens(params, prompt)
+
+    dec = Decoder(params, CFG, specs, max_len=64, cache_dtype="int8")
+    ref_tokens, _, _ = dec.generate(emb, max_new_tokens=6)
+
+    eng = Engine(
+        params, CFG, specs, max_batch=2, max_len=64, buckets=(4, 8, 16),
+        cache_dtype="int8",
+    )
+    eng.add_request(emb, max_new_tokens=6)
+    done = eng.run()
+    assert len(done) == 1
+    np.testing.assert_array_equal(
+        np.asarray(done[0].tokens), np.asarray(ref_tokens)[0][: len(done[0].tokens)]
+    )
+
+    # prefix-cache admission with an int8 cache: splitting the same prompt
+    # into prefix + suffix must reproduce the full-prompt tokens
+    eng2 = Engine(
+        params, CFG, specs, max_batch=2, max_len=64, buckets=(4, 8, 16),
+        cache_dtype="int8",
+    )
+    pid = eng2.register_prefix(emb[:, :2])
+    eng2.add_request(emb[:, 2:], max_new_tokens=6, prefix_id=pid)
+    done2 = eng2.run()
+    assert done2[0].tokens == done[0].tokens

@@ -90,3 +90,120 @@ def test_scalar_pos_broadcasts():
     )
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8-cache variant
+# ---------------------------------------------------------------------------
+
+from ternary_vllm_tpu.models.phi import _dequantize_kv, _quantize_kv
+from ternary_vllm_tpu.ops.decode_attention import decode_attention_int8
+from ternary_vllm_tpu.ops.fused_decode_attention import (
+    _fused_pallas_i8,
+    _fused_xla_i8,
+    fused_decode_attention_int8,
+)
+
+
+def _setup_i8(seed=0, pos=(5, 130)):
+    q, k_new, v_new, cos, sin, kc, vc, pos_v = _setup(seed, pos)
+    kq, ks = _quantize_kv(kc)
+    vq, vs = _quantize_kv(vc)
+    return q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos_v
+
+
+def _reference_i8(q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos):
+    """Independent reference: rope + per-row int8 quantization (scale stored
+    bf16, codes from the f32 scale) + scatter into codes/scale caches +
+    attention on raw codes with the scales applied to logits/probs (identical
+    math to dequantize-then-attend)."""
+
+    def rope(x, c, s):
+        xr, xp = x[..., :RD], x[..., RD:]
+        half = RD // 2
+        rot = jnp.concatenate([-xr[..., half:], xr[..., :half]], axis=-1)
+        return jnp.concatenate([xr * c[:, None] + rot * s[:, None], xp], axis=-1)
+
+    qr = rope(q, cos, sin)
+    kr = rope(k_new, cos, sin)
+    kq_new, ks_new = _quantize_kv(kr[:, :, None, :])
+    vq_new, vs_new = _quantize_kv(v_new[:, :, None, :])
+
+    def wcode(c, u, p):
+        return jax.vmap(
+            lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, pp, 0))
+        )(c, u.astype(c.dtype), p)
+
+    def wscale(c, u, p):
+        return jax.vmap(
+            lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, 0, pp))
+        )(c, u.astype(c.dtype), p)
+
+    kq2, ks2 = wcode(kq, kq_new, pos), wscale(ks, ks_new, pos)
+    vq2, vs2 = wcode(vq, vq_new, pos), wscale(vs, vs_new, pos)
+    k_full = _dequantize_kv(kq2, ks2, jnp.float32)
+    v_full = _dequantize_kv(vq2, vs2, jnp.float32)
+    attn = _decode_attention_xla(qr, k_full, v_full, pos)
+    return attn, kq2, ks2, vq2, vs2
+
+
+@pytest.mark.parametrize("pos", [(5, 130), (0, 255), (127, 128)])
+def test_fused_i8_xla_matches_reference(pos):
+    args = _setup_i8(pos=pos)
+    ref = _reference_i8(*args)
+    got = _fused_xla_i8(*args, rotary_dim=RD)
+    names = ("attn", "kq", "ks", "vq", "vs")
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("pos", [(5, 130), (0, 255), (127, 128), (31, 224)])
+def test_fused_i8_pallas_interpret_matches_reference(pos):
+    args = _setup_i8(pos=pos)
+    ref = _reference_i8(*args)
+    q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos_v = args
+    got = _fused_pallas_i8(
+        q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos_v,
+        rotary_dim=RD, chunk=128, interpret=True,
+    )
+    names = ("attn", "kq", "ks", "vq", "vs")
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=name,
+        )
+
+
+def test_fused_i8_dispatcher_falls_back_off_tpu():
+    args = _setup_i8()
+    out = fused_decode_attention_int8(*args, rotary_dim=RD)
+    ref = _reference_i8(*args)
+    for r, g in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_fused_i8_attention_matches_unfused_int8_attention():
+    """The fused step's attention equals decode_attention_int8 run on the
+    post-write cache (the composition the engine's unfused path uses)."""
+    args = _setup_i8(seed=3, pos=(40, 200))
+    q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos_v = args
+    attn, kq2, ks2, vq2, vs2 = _fused_xla_i8(*args, rotary_dim=RD)
+
+    def rope(x, c, s):
+        xr, xp = x[..., :RD], x[..., RD:]
+        half = RD // 2
+        rot = jnp.concatenate([-xr[..., half:], xr[..., :half]], axis=-1)
+        return jnp.concatenate([xr * c[:, None] + rot * s[:, None], xp], axis=-1)
+
+    qr = rope(q, cos, sin)
+    ref = decode_attention_int8(qr, kq2, ks2, vq2, vs2, pos_v)
+    np.testing.assert_allclose(
+        np.asarray(attn, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-5, atol=2e-5,
+    )

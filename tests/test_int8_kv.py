@@ -21,7 +21,10 @@ def test_int8_cache_structure():
     kq, ks, vq, vs = cache[0]
     assert kq.dtype == jnp.int8 and ks.dtype == jnp.bfloat16
     assert kq.shape == (2, CFG.num_key_value_heads, 16, CFG.head_dim)
-    assert ks.shape == (2, CFG.num_key_value_heads, 16, 1)
+    # scales are LANE-major (B, KVH, 1, T): the attention kernels scale the
+    # logits/probabilities per position (lane dim) instead of dequantizing K/V
+    assert ks.shape == (2, CFG.num_key_value_heads, 1, 16)
+    assert vs.shape == (2, CFG.num_key_value_heads, 1, 16)
 
 
 def test_int8_decode_close_to_f32():
