@@ -72,6 +72,7 @@ def vlm_forward(
     vision_specs=None,
     attn_mask=None,
     stop_vision_gradient: bool = True,
+    remat: bool = False,
 ):
     """Full VLM training forward: images+tokens -> logits (B, 1+729+T-1, V).
 
@@ -84,9 +85,15 @@ def vlm_forward(
     if stop_vision_gradient:
         img_embs = jax.lax.stop_gradient(img_embs)
     embeds = splice_train(params, img_embs, token_ids)
-    if attn_mask is not None:
+    if attn_mask is not None and attn_mask.shape[1] != embeds.shape[1]:
+        # text-length mask: splice in always-attended image positions.  The
+        # collate fn (data/llava.py) already emits a spliced-length mask,
+        # which passes through unchanged.
         n_img = img_embs.shape[1]
         img_mask = jnp.ones((attn_mask.shape[0], n_img), attn_mask.dtype)
         attn_mask = jnp.concatenate([attn_mask[:, :1], img_mask, attn_mask[:, 1:]], axis=1)
-    logits, _ = phi.forward(params["text"], config.text, text_specs, embeds, None, 0, attn_mask)
+    logits, _ = phi.forward(
+        params["text"], config.text, text_specs, embeds, None, 0, attn_mask,
+        remat=remat,
+    )
     return logits

@@ -208,3 +208,62 @@ def make_train_step(config: phi.PhiConfig, specs, tc: TrainConfig, tx):
         return params, opt_state, metrics
 
     return train_step
+
+
+def make_vlm_train_step(vlm_config, text_specs, tc: TrainConfig, tx, vision_specs=None):
+    """QAT train step for the full VLM — the reference's actual training core
+    (``train.py:149-189``: frozen vision encoder → embedding splice → text
+    decoder loss → SGD).
+
+    Params pytree is ``{"vision": ..., "text": ...}``; only the text decoder
+    carries quantized latents, and the vision tower is frozen via
+    ``stop_gradient`` (its grads are exact zeros, so SGD leaves it unchanged).
+    batch: dict with ``images`` (B,H,W,3), ``input_ids`` (B,T), ``labels``
+    (B, 1+img_tokens+T−1; −100 = ignore), optional ``attn_mask`` (B,T) —
+    the layout :func:`ternary_vllm_tpu.data.llava.make_collate_fn` emits.
+
+    Returns ``(train_step, eval_loss)``; ``eval_loss(params, batch)`` is the
+    jitted validation loss over the same spliced forward (reference
+    ``train.py:232-251``)."""
+    from ternary_vllm_tpu.models import vlm as vlm_mod
+
+    specs_frozen = phi.freeze_specs(text_specs)
+    spec_dicts = tuple({k: v for k, v in t} for t in specs_frozen)
+
+    def loss_fn(params, batch):
+        logits = vlm_mod.vlm_forward(
+            params,
+            vlm_config,
+            specs_frozen,
+            batch["images"],
+            batch["input_ids"],
+            vision_specs=vision_specs,
+            attn_mask=batch.get("attn_mask"),
+            stop_vision_gradient=True,
+            remat=tc.remat,
+        )
+        return cross_entropy_loss(logits, batch["labels"])
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        if tc.quantization == "smoothBinary":
+            grads = dict(grads)
+            grads["text"] = biobjective_gradients(
+                grads["text"], params["text"], spec_dicts
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = dict(params)
+        params["text"] = clip_latent_params(params["text"], spec_dicts)
+        metrics = {"loss": loss, "finite": finite}
+        if tc.quantization == "smoothBinary":
+            _, frac = smooth_binary_stats(params["text"], spec_dicts)
+            metrics["fraction_converged"] = frac
+        return params, opt_state, metrics
+
+    return train_step, jax.jit(loss_fn)
