@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--eos-id", type=int, default=-1)
     p.add_argument("--burst", type=int, default=8,
                    help="fused decode steps per engine scheduling point")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel shards (>=2 serves over a device "
+                        "mesh: packed weights + KV cache sharded over ICI)")
+    p.add_argument("--cache-dtype", default="bf16", choices=["bf16", "int8"])
     args = p.parse_args(argv)
     for name in vars(args):
         setattr(args, name, get_var(name, args))
@@ -44,7 +48,23 @@ def main(argv=None):
     params, config, specs = load_checkpoint(args.artifact)
     rng = np.random.default_rng(0)
 
-    if args.requests <= 1:
+    mesh = None
+    if args.tp > 1:
+        from ternary_vllm_tpu.models import phi_tp
+        from ternary_vllm_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} needs {args.tp} devices, have {len(jax.devices())}"
+            )
+        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[: args.tp],
+                         axis_names=("data", "model"))
+        params = phi_tp.shard_tp_params(
+            phi_tp.tp_relayout_packed_params(params, config, args.tp), mesh
+        )
+        specs = None
+
+    if args.requests <= 1 and mesh is None:
         from ternary_vllm_tpu.serve.decode import Decoder
 
         dec = Decoder(params, config, specs, max_len=args.max_len)
@@ -60,7 +80,7 @@ def main(argv=None):
 
         eng = Engine(params, config, specs, max_batch=args.max_batch,
                      max_len=args.max_len, temperature=args.temperature,
-                     burst=args.burst)
+                     burst=args.burst, cache_dtype=args.cache_dtype, mesh=mesh)
         for _ in range(args.requests):
             ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
             eng.add_request(phi.embed_tokens(params, ids),

@@ -61,17 +61,17 @@ def _splice_slot(cache, local, slot):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "bucket", "cache_dtype"),
+    static_argnames=("config", "specs", "bucket", "cache_dtype", "tp"),
     donate_argnums=(4,),
 )
-def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16"):
+def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16", tp=None):
     """Prefill + splice into the engine cache + record the first token, in
     ONE dispatch (this transport charges ~10-35 ms per host round-trip, so
     the old prefill→install→argmax-fetch admission cost 3 round trips per
     request).  ``slot`` and ``prompt_len`` are traced scalars — only the
     bucket shape recompiles."""
     local = phi.init_cache(config, 1, bucket, _CACHE_DTYPES[cache_dtype])
-    logits, local = phi.forward(params, config, specs, embeds, local, 0)
+    logits, local = _forward(params, config, specs, embeds, local, 0, tp)
     new_cache = _splice_slot(cache, local, slot)
     last = jax.lax.dynamic_index_in_dim(logits[0], prompt_len - 1, axis=0, keepdims=False)
     first = jnp.argmax(last).astype(jnp.int32)
@@ -83,12 +83,26 @@ def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, promp
 _CACHE_DTYPES = {"bf16": jnp.bfloat16, "int8": "int8"}
 
 
+def _forward(params, config, specs, embeds, cache, pos, tp):
+    """Model dispatch: single-chip :func:`phi.forward`, or the tensor-parallel
+    shard_map path when ``tp = (mesh, axis, a8)`` is set (params must be in
+    :func:`phi_tp.tp_relayout_packed_params` layout)."""
+    if tp is None:
+        return phi.forward(params, config, specs, embeds, cache, pos)
+    from ternary_vllm_tpu.models import phi_tp
+
+    mesh, axis, a8 = tp
+    return phi_tp.tp_forward(
+        params, config, embeds, cache, pos, mesh=mesh, axis=axis, a8=a8
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "temperature", "n_steps"),
+    static_argnames=("config", "specs", "temperature", "n_steps", "tp"),
     donate_argnums=(3,),
 )
-def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, active, eos_ids, n_steps):
+def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, active, eos_ids, n_steps, tp=None):
     """``n_steps`` fused decode iterations over all slots — one dispatch per
     burst instead of per token (host round-trips dominate short steps on
     remote-attached TPUs).  Slots stop advancing once they emit their eos.
@@ -100,7 +114,7 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     def body(carry, _):
         tok, cache, pos, act, k = carry
         embeds = phi.embed_tokens(params, tok[:, None])
-        logits, cache = phi.forward(params, config, specs, embeds, cache, pos)
+        logits, cache = _forward(params, config, specs, embeds, cache, pos, tp)
         k, sub = jax.random.split(k)
         nxt = sample_token(logits[:, -1], sub, temperature=temperature)
         nxt = jnp.where(act, nxt, tok)
@@ -118,8 +132,8 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     return toks_all, cache, pos  # (B, 1 + n_steps)
 
 
-@partial(jax.jit, static_argnames=("config", "specs", "bucket", "cache_dtype"))
-def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket, cache_dtype="bf16"):
+@partial(jax.jit, static_argnames=("config", "specs", "bucket", "cache_dtype", "tp"))
+def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket, cache_dtype="bf16", tp=None):
     """Prefill a shared PREFIX (system prompt / image embeddings) once;
     returns its stacked per-array KV blocks (a tuple of (L, 1, ...) arrays,
     one per cache-tuple element) for reuse by :func:`_prefill_suffix_into`.
@@ -127,19 +141,19 @@ def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket, cache_
     overwrites / never attends (same argument as bucketed prompt padding)."""
     del prompt_len  # kept in host metadata; padding slots are harmless
     cache = phi.init_cache(config, 1, bucket, _CACHE_DTYPES[cache_dtype])
-    _, cache = phi.forward(params, config, specs, embeds, cache, 0)
+    _, cache = _forward(params, config, specs, embeds, cache, 0, tp)
     n = len(cache[0])
     return tuple(jnp.stack([kv[i] for kv in cache]) for i in range(n))
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype"),
+    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype", "tp"),
     donate_argnums=(5,),
 )
 def _prefill_suffix_into(
     params, config, specs, suffix_emb, prefix_blocks, cache, slot, tokens, pos,
-    prefix_len, suffix_len, *, pbucket, sbucket, cache_dtype="bf16",
+    prefix_len, suffix_len, *, pbucket, sbucket, cache_dtype="bf16", tp=None,
 ):
     """Admission with a cached prefix, in ONE dispatch: seed a local cache
     with the prefix KV block, prefill only the suffix at ``pos=prefix_len``
@@ -152,7 +166,7 @@ def _prefill_suffix_into(
             jax.lax.dynamic_update_slice(l, blk[i].astype(l.dtype), (0,) * l.ndim)
             for l, blk in zip(lkv, prefix_blocks)
         ))
-    logits, seeded = phi.forward(params, config, specs, suffix_emb, seeded, prefix_len)
+    logits, seeded = _forward(params, config, specs, suffix_emb, seeded, prefix_len, tp)
     new_cache = _splice_slot(cache, seeded, slot)
     last = jax.lax.dynamic_index_in_dim(logits[0], suffix_len - 1, axis=0, keepdims=False)
     first = jnp.argmax(last).astype(jnp.int32)
@@ -161,8 +175,8 @@ def _prefill_suffix_into(
     return new_cache, tokens, pos
 
 
-@partial(jax.jit, static_argnames=("config", "specs", "temperature"), donate_argnums=(3,))
-def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, active):
+@partial(jax.jit, static_argnames=("config", "specs", "temperature", "tp"), donate_argnums=(3,))
+def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, active, tp=None):
     """One batched decode step over all slots.
 
     tokens: (B,) current token per slot; pos: (B,) per-slot lengths;
@@ -170,7 +184,7 @@ def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, ac
     static shapes beat dynamic batch sizes on TPU.
     Returns (next_tokens (B,), cache, new_pos)."""
     embeds = phi.embed_tokens(params, tokens[:, None])
-    logits, cache = phi.forward(params, config, specs, embeds, cache, pos)
+    logits, cache = _forward(params, config, specs, embeds, cache, pos, tp)
     from ternary_vllm_tpu.serve.sampling import sample_token
 
     nxt = sample_token(logits[:, -1], key, temperature=temperature)
@@ -192,10 +206,20 @@ class Engine:
         buckets=(32, 64, 128, 256, 512, 1024),
         burst: int = 1,
         cache_dtype: str = "bf16",
+        mesh=None,
+        tp_axis: str = "model",
+        tp_a8: bool = False,
     ):
+        """``mesh``: a jax Mesh for tensor-parallel serving — ``params`` must
+        then be in :func:`phi_tp.tp_relayout_packed_params` layout (use
+        :func:`phi_tp.shard_tp_params` to place them); the slotted KV cache is
+        head-sharded over ``tp_axis``, decode/prefill run under shard_map with
+        one psum per layer, and sampling runs on vocab-sharded logits (GSPMD
+        assembles the argmax).  BASELINE.md config 5 composition."""
         self.params = params
         self.config = config
-        self.specs = phi.freeze_specs(specs)
+        self.specs = phi.freeze_specs(specs) if specs is not None else None
+        self.tp = (mesh, tp_axis, tp_a8) if mesh is not None else None
         self.max_batch = max_batch
         self.max_len = max_len
         self.temperature = temperature
@@ -205,6 +229,10 @@ class Engine:
             raise ValueError(f"cache_dtype must be one of {sorted(_CACHE_DTYPES)}")
         self.cache_dtype = cache_dtype
         self.cache = phi.init_cache(config, max_batch, max_len, _CACHE_DTYPES[cache_dtype])
+        if self.tp is not None:
+            from ternary_vllm_tpu.models import phi_tp
+
+            self.cache = phi_tp.shard_tp_cache(self.cache, mesh, tp_axis)
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.pos = jnp.zeros((max_batch,), jnp.int32)
         # host mirror of per-slot positions (avoids a D2H fetch per step)
@@ -262,7 +290,7 @@ class Engine:
             emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
         blocks = _prefill_prefix(
             self.params, self.config, self.specs, jnp.asarray(emb),
-            jnp.int32(t), bucket=b, cache_dtype=self.cache_dtype,
+            jnp.int32(t), bucket=b, cache_dtype=self.cache_dtype, tp=self.tp,
         )
         pid = next(self._prefix_ids)
         self._prefixes[pid] = (blocks, t, b)
@@ -321,14 +349,14 @@ class Engine:
                     self.params, self.config, self.specs, emb, blocks,
                     self.cache, jnp.int32(slot), self.tokens, self.pos,
                     jnp.int32(plen), jnp.int32(t), pbucket=pbucket, sbucket=b,
-                    cache_dtype=self.cache_dtype,
+                    cache_dtype=self.cache_dtype, tp=self.tp,
                 )
                 self.pos_host[slot] = plen + t
             else:
                 self.cache, self.tokens, self.pos = _prefill_into(
                     self.params, self.config, self.specs, emb, self.cache,
                     jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
-                    cache_dtype=self.cache_dtype,
+                    cache_dtype=self.cache_dtype, tp=self.tp,
                 )
                 self.pos_host[slot] = t
             req.slot = slot
@@ -370,7 +398,7 @@ class Engine:
             toks, self.cache, self.pos = _decode_burst(
                 self.params, self.config, self.specs, self.cache,
                 self.tokens, self.pos, sub, self.temperature, active, eos_ids,
-                n_steps=n_steps,
+                n_steps=n_steps, tp=self.tp,
             )
             self.tokens = toks[:, -1]
             toks_host = np.asarray(toks)  # (B, 1 + n_steps); col 0 = entry
@@ -378,7 +406,7 @@ class Engine:
             entry = self.tokens
             nxt, self.cache, self.pos = _decode_step(
                 self.params, self.config, self.specs, self.cache,
-                self.tokens, self.pos, sub, self.temperature, active,
+                self.tokens, self.pos, sub, self.temperature, active, tp=self.tp,
             )
             self.tokens = nxt
             toks_host = np.asarray(jnp.stack([entry, nxt], axis=1))
