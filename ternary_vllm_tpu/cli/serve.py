@@ -35,6 +35,8 @@ def parse_args(argv=None):
                    help="tensor-parallel shards (>=2 serves over a device "
                         "mesh: packed weights + KV cache sharded over ICI)")
     p.add_argument("--cache-dtype", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--speculative", type=int, default=0,
+                   help="n-gram speculation window k (greedy only; 0 = off)")
     args = p.parse_args(argv)
     for name in vars(args):
         setattr(args, name, get_var(name, args))
@@ -80,11 +82,13 @@ def main(argv=None):
 
         eng = Engine(params, config, specs, max_batch=args.max_batch,
                      max_len=args.max_len, temperature=args.temperature,
-                     burst=args.burst, cache_dtype=args.cache_dtype, mesh=mesh)
+                     burst=args.burst, cache_dtype=args.cache_dtype, mesh=mesh,
+                     speculative=args.speculative)
         for _ in range(args.requests):
             ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
             eng.add_request(phi.embed_tokens(params, ids),
-                            max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
+                            max_new_tokens=args.max_new_tokens, eos_id=args.eos_id,
+                            prompt_ids=ids)
         t0 = time.perf_counter()
         done = eng.run()
         dt = time.perf_counter() - t0

@@ -38,6 +38,7 @@ class Request:
     request_id: int = 0
     on_token: Optional[Callable[[int, "Request"], None]] = None  # streaming cb
     prefix_id: Optional[int] = None  # shared-prefix KV (see register_prefix)
+    prompt_ids: Optional[Any] = None  # (1, T) int32 — seeds n-gram speculation
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -175,6 +176,72 @@ def _prefill_suffix_into(
     return new_cache, tokens, pos
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _seed_history(history, hist_len, slot, prompt_ids, prompt_len, first_token):
+    """Reset one slot's speculation history to [prompt ids | first token].
+    ``prompt_ids``: (Lp,) int32 padded buffer (unused tail ignored via
+    ``prompt_len``); rows admitted without ids pass prompt_len=0."""
+    width = history.shape[1]
+    col = jnp.arange(width)
+    ids_padded = jnp.zeros((width,), jnp.int32)
+    ids_padded = jax.lax.dynamic_update_slice(ids_padded, prompt_ids, (0,))
+    row = jnp.where(col < prompt_len, ids_padded, 0)
+    row = jnp.where(col == prompt_len, first_token, row)
+    history = history.at[slot].set(row)
+    hist_len = hist_len.at[slot].set(prompt_len + 1)
+    return history, hist_len
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "specs", "k", "n", "tp"),
+    donate_argnums=(3, 6, 7),
+)
+def _spec_decode_step(
+    params, config, specs, cache, tokens, pos, history, hist_len, active,
+    *, k, n, tp=None,
+):
+    """One speculative engine iteration (greedy slots only): per-slot n-gram
+    proposals from the device-side history, ONE verify forward over ``k+1``
+    tokens with per-slot vector positions, longest-matching-prefix accept.
+
+    Invariant: ``history[:, :hist_len]`` holds every emitted token per slot
+    INCLUDING the current ``tokens`` entry, so the n-gram suffix is current.
+    Stale cache rows written for rejected proposals sit beyond each row's
+    advanced position and are overwritten before they can be attended (the
+    causal mask bounds reads by the row's true position) — the same argument
+    as :func:`ternary_vllm_tpu.serve.speculative.speculative_decode_loop`.
+
+    Returns ``(toks_all (B, k+2), n_valid (B,), cache, pos, history,
+    hist_len)``: column 0 is the entry token (burst-compatible), columns
+    ``1..n_valid`` are the newly emitted tokens per row."""
+    from ternary_vllm_tpu.serve.speculative import ngram_propose
+
+    b = tokens.shape[0]
+    props = ngram_propose(history, hist_len, k=k, n=n)  # (B, k)
+    seq = jnp.concatenate([tokens[:, None], props], axis=1)  # (B, k+1)
+    embeds = phi.embed_tokens(params, seq)
+    logits, cache = _forward(params, config, specs, embeds, cache, pos, tp)
+    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+    match = props == out[:, :k]
+    acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # (B,)
+    n_valid = jnp.where(active, acc + 1, 0)
+
+    # append accepted tokens to history (inactive rows untouched)
+    hcol = jnp.arange(history.shape[1])[None, :]
+    for j in range(k + 1):
+        can = active & (j <= acc)
+        hwrite = can[:, None] & (hcol == (hist_len + j)[:, None])
+        history = jnp.where(hwrite, out[:, j][:, None], history)
+    hist_len = hist_len + n_valid
+    pos = pos + n_valid
+    new_tokens = jnp.where(
+        active, jnp.take_along_axis(out, acc[:, None], axis=1)[:, 0], tokens
+    )
+    toks_all = jnp.concatenate([tokens[:, None], out], axis=1)  # (B, k+2)
+    return toks_all, n_valid, cache, pos, history, hist_len, new_tokens
+
+
 @partial(jax.jit, static_argnames=("config", "specs", "temperature", "tp"), donate_argnums=(3,))
 def _decode_step(params, config, specs, cache, tokens, pos, key, temperature, active, tp=None):
     """One batched decode step over all slots.
@@ -209,13 +276,21 @@ class Engine:
         mesh=None,
         tp_axis: str = "model",
         tp_a8: bool = False,
+        speculative: int = 0,
+        spec_ngram: int = 3,
     ):
         """``mesh``: a jax Mesh for tensor-parallel serving — ``params`` must
         then be in :func:`phi_tp.tp_relayout_packed_params` layout (use
         :func:`phi_tp.shard_tp_params` to place them); the slotted KV cache is
         head-sharded over ``tp_axis``, decode/prefill run under shard_map with
         one psum per layer, and sampling runs on vocab-sharded logits (GSPMD
-        assembles the argmax).  BASELINE.md config 5 composition."""
+        assembles the argmax).  BASELINE.md config 5 composition.
+
+        ``speculative=k`` (greedy engines only) enables prompt-lookup n-gram
+        speculation INSIDE the batched engine step: each iteration proposes
+        ``k`` tokens per slot from that slot's device-side history and
+        verifies them in one forward — accepted runs emit several tokens per
+        step with output identical to plain greedy decode (lossless)."""
         self.params = params
         self.config = config
         self.specs = phi.freeze_specs(specs) if specs is not None else None
@@ -224,6 +299,10 @@ class Engine:
         self.max_len = max_len
         self.temperature = temperature
         self.burst = burst  # fused decode steps per scheduling point
+        self.spec_k = int(speculative)
+        self.spec_n = int(spec_ngram)
+        if self.spec_k and temperature != 0.0:
+            raise ValueError("speculative decoding requires temperature=0 (greedy)")
         self.buckets = tuple(b for b in buckets if b <= max_len)
         if cache_dtype not in _CACHE_DTYPES:
             raise ValueError(f"cache_dtype must be one of {sorted(_CACHE_DTYPES)}")
@@ -235,6 +314,10 @@ class Engine:
             self.cache = phi_tp.shard_tp_cache(self.cache, mesh, tp_axis)
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.pos = jnp.zeros((max_batch,), jnp.int32)
+        if self.spec_k:
+            hist_w = max_len + self.spec_k + 2
+            self.history = jnp.zeros((max_batch, hist_w), jnp.int32)
+            self.hist_len = jnp.zeros((max_batch,), jnp.int32)
         # host mirror of per-slot positions (avoids a D2H fetch per step)
         self.pos_host: List[int] = [0] * max_batch
         # slots whose prefill first-token hasn't been reported to the host yet
@@ -258,6 +341,7 @@ class Engine:
         eos_id: int = -1,
         on_token: Optional[Callable[[int, Request], None]] = None,
         prefix_id: Optional[int] = None,
+        prompt_ids=None,
     ) -> int:
         """Queue a request; ``on_token(token_id, request)`` streams each token
         as it is produced (called from ``step`` on the host).  With
@@ -273,6 +357,7 @@ class Engine:
             eos_id=eos_id,
             on_token=on_token,
             prefix_id=prefix_id,
+            prompt_ids=prompt_ids,
             request_id=next(self._ids),
             submit_time=time.perf_counter(),
         )
@@ -362,6 +447,23 @@ class Engine:
             req.slot = slot
             self.slots[slot] = req
             self._pending_first[slot] = True
+            if self.spec_k:
+                # seed this slot's speculation history: prompt ids (when the
+                # caller provided them — spliced image embeds have none) +
+                # the prefill's first token (still device-side)
+                if req.prompt_ids is not None:
+                    ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
+                    n_ids = len(ids)
+                    pb = self._bucket(n_ids)  # pad to a bucket: bounded compiles
+                    ids_dev = jnp.asarray(np.pad(ids, (0, pb - n_ids)))
+                    plen = jnp.int32(n_ids)
+                else:
+                    ids_dev = jnp.zeros((1,), jnp.int32)
+                    plen = jnp.int32(0)
+                self.history, self.hist_len = _seed_history(
+                    self.history, self.hist_len, jnp.int32(slot), ids_dev,
+                    plen, self.tokens[slot],
+                )
 
     def _finish(self, req: Request):
         req.done = True
@@ -390,8 +492,31 @@ class Engine:
         max_active_pos = max(
             (self.pos_host[i] for i, a in enumerate(active_list) if a), default=0
         )
+        nvalid_host = None  # per-slot count of valid sampled columns (spec mode)
+        adv_host = None  # per-slot device pos advance (spec mode)
         n_steps = min(self.burst, self.max_len - 1 - max_active_pos)
-        if n_steps > 1:
+        # When the verify window no longer fits the cache the engine falls
+        # back to plain decode for the iteration; histories go stale, which
+        # only degrades PROPOSALS (verification keeps output lossless).
+        if (
+            self.spec_k
+            and max_active_pos + self.spec_k + 1 < self.max_len
+        ):
+            (
+                toks, nvalid, self.cache, self.pos,
+                self.history, self.hist_len, self.tokens,
+            ) = _spec_decode_step(
+                self.params, self.config, self.specs, self.cache,
+                self.tokens, self.pos, self.history, self.hist_len, active,
+                k=self.spec_k, n=self.spec_n, tp=self.tp,
+            )
+            toks_host = np.asarray(toks)  # (B, k+2); col 0 = entry
+            nvalid_host = np.asarray(nvalid).tolist()
+            # spec mode advances the device pos by nvalid UNCONDITIONALLY
+            # (rows that hit eos are freed and re-prefilled, so the stale
+            # advance never matters — but the host mirror must match)
+            adv_host = nvalid_host
+        elif n_steps > 1:
             eos_ids = jnp.asarray(
                 [r.eos_id if r is not None else -2 for r in self.slots], jnp.int32
             )
@@ -427,13 +552,17 @@ class Engine:
                 if tok0 == req.eos_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(req)
             # mirror the device pos rule over the SAMPLED columns: pos
-            # advances each burst step until (and including) the first eos
-            sampled = row[1:]
-            adv = len(sampled)
-            for k in range(len(sampled)):
-                if int(sampled[k]) == req.eos_id:
-                    adv = k + 1
-                    break
+            # advances each burst step until (and including) the first eos;
+            # in spec mode the device advance is the accepted count directly
+            sampled = row[1 : 1 + nvalid_host[slot]] if nvalid_host is not None else row[1:]
+            if adv_host is not None:
+                adv = adv_host[slot]
+            else:
+                adv = len(sampled)
+                for k in range(len(sampled)):
+                    if int(sampled[k]) == req.eos_id:
+                        adv = k + 1
+                        break
             self.pos_host[slot] += adv
             if req.done:
                 continue
