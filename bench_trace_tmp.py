@@ -6,7 +6,7 @@ from ternary_vllm_tpu.ops.packing import pack_ternary
 from ternary_vllm_tpu.serve.decode import decode_loop, prefill
 from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params, quantize_linear_int8, quantize_linear_int4
 import sys
-HEAD = sys.argv[1] if len(sys.argv) > 1 else 'int8', quantize_linear_int4
+HEAD = sys.argv[1] if len(sys.argv) > 1 else 'int8'
 
 cfg = phi.MOONDREAM_PHI_CONFIG
 d, f = cfg.hidden_size, cfg.intermediate_size
@@ -47,6 +47,6 @@ logits, cache = prefill(params, cfg, specs, cache, emb)
 first = jnp.argmax(logits[:, 63], axis=-1).astype(jnp.int32)
 first.block_until_ready()
 with jax.profiler.trace("/tmp/dtrace-" + HEAD):
-    tokens, n, cache = decode_loop(params, cfg, specs, cache, first, jnp.int32(64), max_steps=128, eos_id=-1)
+    tokens, n, cache = decode_loop(params, cfg, specs, cache, first, jnp.int32(64), max_steps=32, eos_id=-1)
     np.asarray(tokens)
 print("trace done")
