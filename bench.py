@@ -77,11 +77,22 @@ def worker(kind: str, batch: int) -> None:
         )
     head_linear = rand_dense_linear(keys[-1], d, cfg.vocab_size)
     if kind == "packed":
-        # flagship also quantizes the lm_head to int8 (w8a8): the bf16 vocab
-        # projection otherwise dominates the decode step's fixed cost
-        from ternary_vllm_tpu.quant.quantize import quantize_linear_int8
+        # flagship quantizes the lm_head: the bf16 vocab projection otherwise
+        # dominates the decode step's fixed cost.  Default is w8a8 (int8) —
+        # measured faster than the planar-int4 head at decode (the int4
+        # unpack is VPU-bound, not HBM-bound; see DESIGN.md §6).  HEAD_FMT=q4
+        # selects the w4a8 head (accuracy gated by
+        # tests/test_w2a8.py::test_compare_quantization_q4_head_gate).
+        import os
 
-        head_linear = quantize_linear_int8(head_linear)
+        if os.environ.get("HEAD_FMT", "q8") == "q4":
+            from ternary_vllm_tpu.quant.quantize import quantize_linear_int4
+
+            head_linear = quantize_linear_int4(head_linear)
+        else:
+            from ternary_vllm_tpu.quant.quantize import quantize_linear_int8
+
+            head_linear = quantize_linear_int8(head_linear)
     params = {
         "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
         "layers": layers,

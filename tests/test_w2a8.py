@@ -302,6 +302,32 @@ def test_compare_quantization_a8_gate():
     assert np.isfinite(rep["quant_loss"]) and np.isfinite(rep["rel_ppl_increase"])
 
 
+def test_compare_quantization_q4_head_gate():
+    """The w4a8 (planar-int4) lm_head — the flagship bench config — passes the
+    eval gate: its extra quantization error over the w8a8 head is negligible
+    (per-channel symmetric absmax at 4 bits on the vocab projection)."""
+    from ternary_vllm_tpu.eval.perplexity import compare_quantization
+    from ternary_vllm_tpu.quant.quantize import QuantConfig
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16))
+    batches = [
+        {"input_ids": jnp.asarray(ids[:2]), "labels": jnp.asarray(ids[:2])},
+        {"input_ids": jnp.asarray(ids[2:]), "labels": jnp.asarray(ids[2:])},
+    ]
+    rep8 = compare_quantization(
+        params, cfg, batches, QuantConfig(), a8=True, head_fmt="q8"
+    )
+    rep4 = compare_quantization(
+        params, cfg, batches, QuantConfig(), a8=True, head_fmt="q4"
+    )
+    assert np.isfinite(rep4["quant_loss"]) and np.isfinite(rep4["rel_ppl_increase"])
+    # int4-head loss within 2% (absolute nats) of the int8-head loss: the
+    # ternary decoder quantization dominates; the head format is not the gate
+    assert abs(rep4["quant_loss"] - rep8["quant_loss"]) < 0.02 * max(1.0, rep8["quant_loss"])
+
+
 def _ln_np(x, s, b, eps=1e-5):
     xf = np.asarray(x, np.float32)
     mu = xf.mean(-1, keepdims=True)
