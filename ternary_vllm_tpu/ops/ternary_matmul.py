@@ -646,6 +646,11 @@ def _w4a8_matmul_kernel(*refs, s, bs, n_kt, ln_eps=None):
             _ln_quantize_rows_in_kernel(x_ref, lns_ref, lnb_ref, ln_eps, xq_ref, xs_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # Two 4-bit planes per packed byte.  A four-2-bit-plane reformulation
+    # (lo2 + 4*hi2 per nibble, dual accumulators — the w2a8 structure) was
+    # measured bit-exact and NO faster at decode (180 vs 185 µs on the head
+    # shape) while doubling MXU passes at prefill, so this simpler form
+    # stays (see docs/DESIGN.md §6, int4-head study).
     w32 = pltpu.bitcast(p_ref[:], jnp.int32)  # (bs/4, bn): 4 packed bytes/lane
     acc = acc_ref[:]
     for t in range(2):

@@ -468,6 +468,24 @@ def test_int4_matmul_exact_integer_math():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.skipif(not ON_TPU, reason="Pallas w4a8 kernel needs a TPU")
+def test_w4a8_pallas_bit_exact_vs_fallback():
+    from ternary_vllm_tpu.ops.packing import pack_int4_planar
+    from ternary_vllm_tpu.ops.ternary_matmul import int4_matmul
+
+    rng = np.random.default_rng(13)
+    K, N = 2048, 512
+    q = rng.integers(-7, 8, (K, N)).astype(np.float32)
+    packed = pack_int4_planar(jnp.asarray(q))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (N,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (1, K)), jnp.bfloat16)
+    pallas = int4_matmul(x, packed, scale)
+    xla = int4_matmul(x, packed, scale, impl="xla")
+    np.testing.assert_array_equal(
+        np.asarray(pallas, np.float32), np.asarray(xla, np.float32)
+    )
+
+
 def test_lm_head_int4_in_forward():
     from ternary_vllm_tpu.quant.quantize import quantize_lm_head_int4
 
