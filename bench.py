@@ -81,11 +81,16 @@ def worker(kind: str, batch: int) -> None:
         # dominates the decode step's fixed cost.  Default is w8a8 (int8) —
         # measured faster than the planar-int4 head at decode (the int4
         # unpack is VPU-bound, not HBM-bound; see DESIGN.md §6).  HEAD_FMT=q4
-        # selects the w4a8 head (accuracy gated by
-        # tests/test_w2a8.py::test_compare_quantization_q4_head_gate).
+        # selects the w4a8 head (numerically gated on a tiny random model by
+        # tests/test_w2a8.py::test_compare_quantization_q4_head_gate; a
+        # real-checkpoint perplexity gate via cli/parity.py is still needed
+        # before using q4 in production).
         import os
 
-        if os.environ.get("HEAD_FMT", "q8") == "q4":
+        head_fmt = os.environ.get("HEAD_FMT", "q8")
+        if head_fmt not in ("q8", "q4"):
+            raise SystemExit(f"HEAD_FMT must be 'q8' or 'q4', got {head_fmt!r}")
+        if head_fmt == "q4":
             from ternary_vllm_tpu.quant.quantize import quantize_linear_int4
 
             head_linear = quantize_linear_int4(head_linear)

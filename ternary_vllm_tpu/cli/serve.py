@@ -72,7 +72,9 @@ def main(argv=None):
         dec = Decoder(params, config, specs, max_len=args.max_len)
         ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
         emb = phi.embed_tokens(params, ids)
-        tokens, n, timing = dec.generate(emb, max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
+        # First call is warmup: it pays jit compilation, so its timing is
+        # meaningless.  The second call's timing is what we report.
+        dec.generate(emb, max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
         tokens, n, timing = dec.generate(emb, max_new_tokens=args.max_new_tokens, eos_id=args.eos_id)
         print("tokens:", np.asarray(tokens)[0][:32].tolist())
         print(f"prefill {timing['prefill_s']*1e3:.1f}ms; "
