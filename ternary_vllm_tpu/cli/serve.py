@@ -34,7 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel shards (>=2 serves over a device "
                         "mesh: packed weights + KV cache sharded over ICI)")
-    p.add_argument("--cache-dtype", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--cache-dtype", default="auto", choices=["auto", "bf16", "int8"],
+                   help="KV cache dtype; auto = int8 when --max-len >= 2048 "
+                        "(int8 wins past ~1024 live tokens), else bf16")
     p.add_argument("--speculative", type=int, default=0,
                    help="n-gram speculation window k (greedy only; 0 = off)")
     args = p.parse_args(argv)

@@ -83,6 +83,22 @@ def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, promp
 
 _CACHE_DTYPES = {"bf16": jnp.bfloat16, "int8": "int8"}
 
+# int8-KV pays a fixed per-step quantize cost but halves live-context HBM
+# traffic; measured crossover is ~1024 live tokens (bench_kv.py: 0.96x at
+# prompt 64 / cache 1024, 1.08-1.12x at 1024-1792 live tokens — BENCHMARKS.md).
+# "auto" picks int8 whenever the cache is big enough that requests are
+# expected to spend most of their decode beyond the crossover.
+_AUTO_INT8_MIN_LEN = 2048
+
+
+def resolve_cache_dtype(cache_dtype: str, max_len: int) -> str:
+    """Resolve the ``cache_dtype="auto"`` policy: int8 when ``max_len`` ≥
+    ``_AUTO_INT8_MIN_LEN`` (long-context workload — int8 wins past ~1024 live
+    tokens), bf16 otherwise.  Explicit "bf16"/"int8" pass through."""
+    if cache_dtype == "auto":
+        return "int8" if max_len >= _AUTO_INT8_MIN_LEN else "bf16"
+    return cache_dtype
+
 
 def _forward(params, config, specs, embeds, cache, pos, tp):
     """Model dispatch: single-chip :func:`phi.forward`, or the tensor-parallel
@@ -131,6 +147,37 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     # admission needs NO device->host round-trip of its own
     toks_all = jnp.concatenate([tokens[:, None], toks.T], axis=1)
     return toks_all, cache, pos  # (B, 1 + n_steps)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "specs", "first_chunk", "tp"),
+    donate_argnums=(4,),
+)
+def _prefill_chunk(params, config, specs, embeds, local, start_pos, chunk_len, *, first_chunk, tp=None):
+    """One chunk of a long-prompt prefill into a slot-local full-capacity
+    cache (chunked admission: a prompt longer than the largest bucket is
+    split into sequential bucket-sized prefills at advancing ``start_pos``;
+    each chunk attends to all previous chunks' KV through the cache).  The
+    first chunk uses the pure-causal flash prefill path (static pos=0).
+
+    Returns ``(local, first)`` where ``first`` is the greedy token at the
+    chunk's last true position — only the LAST chunk's value is used."""
+    pos = 0 if first_chunk else start_pos
+    logits, local = _forward(params, config, specs, embeds, local, pos, tp)
+    last = jax.lax.dynamic_index_in_dim(logits[0], chunk_len - 1, axis=0, keepdims=False)
+    first = jnp.argmax(last).astype(jnp.int32)
+    return local, first
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _install_local(cache, local, slot, tokens, pos, first, total_len):
+    """Splice a fully prefilled slot-local cache into the engine cache and
+    record the first token + position — the chunked-admission epilogue."""
+    new_cache = _splice_slot(cache, local, slot)
+    tokens = tokens.at[slot].set(first)
+    pos = pos.at[slot].set(total_len)
+    return new_cache, tokens, pos
 
 
 @partial(jax.jit, static_argnames=("config", "specs", "bucket", "cache_dtype", "tp"))
@@ -272,7 +319,7 @@ class Engine:
         seed: int = 0,
         buckets=(32, 64, 128, 256, 512, 1024),
         burst: int = 1,
-        cache_dtype: str = "bf16",
+        cache_dtype: str = "auto",
         mesh=None,
         tp_axis: str = "model",
         tp_a8: bool = False,
@@ -285,6 +332,10 @@ class Engine:
         head-sharded over ``tp_axis``, decode/prefill run under shard_map with
         one psum per layer, and sampling runs on vocab-sharded logits (GSPMD
         assembles the argmax).  BASELINE.md config 5 composition.
+
+        ``cache_dtype="auto"`` (the default) picks int8 KV when
+        ``max_len >= 2048`` and bf16 otherwise (measured crossover ~1024 live
+        tokens, BENCHMARKS.md); pass "bf16"/"int8" to override.
 
         ``speculative=k`` (greedy engines only) enables prompt-lookup n-gram
         speculation INSIDE the batched engine step: each iteration proposes
@@ -304,10 +355,12 @@ class Engine:
         if self.spec_k and temperature != 0.0:
             raise ValueError("speculative decoding requires temperature=0 (greedy)")
         self.buckets = tuple(b for b in buckets if b <= max_len)
-        if cache_dtype not in _CACHE_DTYPES:
-            raise ValueError(f"cache_dtype must be one of {sorted(_CACHE_DTYPES)}")
-        self.cache_dtype = cache_dtype
-        self.cache = phi.init_cache(config, max_batch, max_len, _CACHE_DTYPES[cache_dtype])
+        if cache_dtype not in _CACHE_DTYPES and cache_dtype != "auto":
+            raise ValueError(
+                f"cache_dtype must be 'auto' or one of {sorted(_CACHE_DTYPES)}"
+            )
+        self.cache_dtype = resolve_cache_dtype(cache_dtype, max_len)
+        self.cache = phi.init_cache(config, max_batch, max_len, _CACHE_DTYPES[self.cache_dtype])
         if self.tp is not None:
             from ternary_vllm_tpu.models import phi_tp
 
@@ -401,6 +454,45 @@ class Engine:
                 return b
         raise ValueError(f"prompt length {t} exceeds largest bucket {self.buckets[-1]}")
 
+    def _admit_chunked(self, req: Request, slot: int):
+        """Admit a prompt LONGER than the largest bucket: sequential
+        bucket-sized prefills at advancing position into a slot-local
+        full-capacity cache, then one splice into the engine cache.
+
+        The engine never rejects a long prompt it has cache capacity for
+        (the reference caps context at 2048, ``layers.py:393`` — chunked
+        admission serves any prompt up to ``max_len - 1``).  Cost:
+        ``ceil(t / largest_bucket) + 1`` dispatches instead of 1; each
+        chunk's attention reads the full cache capacity (masked), so
+        chunk prefill is O(chunks × max_len) attention — still far cheaper
+        than compiling a one-off full-length program per prompt length."""
+        t = req.prompt_embeds.shape[1]
+        chunk = self.buckets[-1]
+        local = phi.init_cache(self.config, 1, self.max_len, _CACHE_DTYPES[self.cache_dtype])
+        if self.tp is not None:
+            from ternary_vllm_tpu.models import phi_tp
+
+            local = phi_tp.shard_tp_cache(local, self.tp[0], self.tp[1])
+        emb_np = np.asarray(req.prompt_embeds)
+        off = 0
+        first = None
+        while off < t:
+            n = min(chunk, t - off)
+            b = self._bucket(n)
+            piece = emb_np[:, off : off + n]
+            if b > n:
+                piece = np.pad(piece, ((0, 0), (0, b - n), (0, 0)))
+            local, first = _prefill_chunk(
+                self.params, self.config, self.specs, jnp.asarray(piece), local,
+                jnp.int32(off), jnp.int32(n), first_chunk=(off == 0), tp=self.tp,
+            )
+            off += n
+        self.cache, self.tokens, self.pos = _install_local(
+            self.cache, local, jnp.int32(slot), self.tokens, self.pos,
+            first, jnp.int32(t),
+        )
+        self.pos_host[slot] = t
+
     def _admit(self):
         """Prefill queued prompts into free slots — zero host round-trips.
 
@@ -412,6 +504,28 @@ class Engine:
                 continue
             req = self.queue.popleft()
             t = req.prompt_embeds.shape[1]
+            if t > self.buckets[-1]:
+                # long prompt: chunked admission (prefix splicing composes
+                # with bucketed suffixes only — a long suffix on top of a
+                # cached prefix is not supported)
+                if req.prefix_id is not None:
+                    raise NotImplementedError(
+                        f"prompt length {t} exceeds largest bucket "
+                        f"{self.buckets[-1]}; chunked admission does not "
+                        "compose with prefix_id"
+                    )
+                if t + 1 > self.max_len:
+                    raise ValueError(
+                        f"prompt length {t} needs at least {t + 1} cache "
+                        f"slots, max_len={self.max_len}"
+                    )
+                self._admit_chunked(req, slot)
+                req.slot = slot
+                self.slots[slot] = req
+                self._pending_first[slot] = True
+                if self.spec_k:
+                    self._seed_slot_history(req, slot)
+                continue
             b = self._bucket(t)
             emb = req.prompt_embeds
             if b > t:
@@ -448,22 +562,28 @@ class Engine:
             self.slots[slot] = req
             self._pending_first[slot] = True
             if self.spec_k:
-                # seed this slot's speculation history: prompt ids (when the
-                # caller provided them — spliced image embeds have none) +
-                # the prefill's first token (still device-side)
-                if req.prompt_ids is not None:
-                    ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
-                    n_ids = len(ids)
-                    pb = self._bucket(n_ids)  # pad to a bucket: bounded compiles
-                    ids_dev = jnp.asarray(np.pad(ids, (0, pb - n_ids)))
-                    plen = jnp.int32(n_ids)
-                else:
-                    ids_dev = jnp.zeros((1,), jnp.int32)
-                    plen = jnp.int32(0)
-                self.history, self.hist_len = _seed_history(
-                    self.history, self.hist_len, jnp.int32(slot), ids_dev,
-                    plen, self.tokens[slot],
-                )
+                self._seed_slot_history(req, slot)
+
+    def _seed_slot_history(self, req: Request, slot: int):
+        """Seed a slot's speculation history: prompt ids (when the caller
+        provided them — spliced image embeds have none) + the prefill's
+        first token (still device-side)."""
+        if req.prompt_ids is not None:
+            ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
+            n_ids = len(ids)
+            if n_ids <= self.buckets[-1]:
+                pb = self._bucket(n_ids)  # pad to a bucket: bounded compiles
+            else:
+                pb = self.max_len  # long prompt: one extra shape, bounded
+            ids_dev = jnp.asarray(np.pad(ids, (0, pb - n_ids)))
+            plen = jnp.int32(n_ids)
+        else:
+            ids_dev = jnp.zeros((1,), jnp.int32)
+            plen = jnp.int32(0)
+        self.history, self.hist_len = _seed_history(
+            self.history, self.hist_len, jnp.int32(slot), ids_dev,
+            plen, self.tokens[slot],
+        )
 
     def _finish(self, req: Request):
         req.done = True

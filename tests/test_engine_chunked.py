@@ -1,0 +1,138 @@
+"""Chunked long-prompt admission + cache_dtype="auto" policy.
+
+A prompt longer than the engine's largest bucket must be admitted by
+sequential bucket-sized prefills (the reference hard-caps context at 2048,
+``layers.py:393``; round-2 VERDICT flagged the engine raising instead of
+chunking).  Output must match a single-shot prefill of the same prompt.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.serve.engine import Engine, resolve_cache_dtype
+
+CFG = phi.TINY_PHI_CONFIG
+
+
+def _setup():
+    params = phi.init_phi_params(jax.random.PRNGKey(0), CFG)
+    specs = phi.layer_specs(CFG)
+    return params, specs
+
+
+def _prompt(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)))
+
+
+def test_chunked_admission_matches_single_prefill():
+    params, specs = _setup()
+    emb = phi.embed_tokens(params, _prompt(40))
+
+    ref = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(64,),
+                 cache_dtype="bf16")
+    ref.add_request(emb, max_new_tokens=8)
+    ref_tokens = ref.run()[0].tokens
+
+    # largest bucket 16 -> chunks of 16, 16, 8
+    eng = Engine(params, CFG, specs, max_batch=2, max_len=128, buckets=(8, 16),
+                 cache_dtype="bf16")
+    eng.add_request(emb, max_new_tokens=8)
+    toks = eng.run()[0].tokens
+    assert toks == ref_tokens
+
+
+def test_chunked_admission_int8_cache():
+    params, specs = _setup()
+    emb = phi.embed_tokens(params, _prompt(20, seed=1))
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(8,),
+                 cache_dtype="int8")
+    eng.add_request(emb, max_new_tokens=6)
+    toks = eng.run()[0].tokens
+    assert len(toks) == 6
+
+    ref = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(32,),
+                 cache_dtype="int8")
+    ref.add_request(emb, max_new_tokens=6)
+    assert toks[:3] == ref.run()[0].tokens[:3]
+
+
+def test_chunked_and_bucketed_requests_coexist():
+    """A long (chunked) and a short (bucketed) prompt decode concurrently
+    with slot isolation — each matches its solo run."""
+    params, specs = _setup()
+    long_emb = phi.embed_tokens(params, _prompt(24, seed=2))
+    short_emb = phi.embed_tokens(params, _prompt(5, seed=3))
+
+    solo = []
+    for emb in (long_emb, short_emb):
+        eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
+                     cache_dtype="bf16")
+        eng.add_request(emb, max_new_tokens=5)
+        solo.append(eng.run()[0].tokens)
+
+    eng = Engine(params, CFG, specs, max_batch=2, max_len=64, buckets=(8,),
+                 cache_dtype="bf16")
+    eng.add_request(long_emb, max_new_tokens=5)
+    eng.add_request(short_emb, max_new_tokens=5)
+    done = sorted(eng.run(), key=lambda r: r.request_id)
+    assert [r.tokens for r in done] == solo
+
+
+def test_chunked_prompt_beyond_capacity_raises():
+    params, specs = _setup()
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=32, buckets=(8,),
+                 cache_dtype="bf16")
+    eng.add_request(phi.embed_tokens(params, _prompt(32)), max_new_tokens=4)
+    with pytest.raises(ValueError, match="cache"):
+        eng.run()
+
+
+def test_chunked_with_prefix_unsupported():
+    params, specs = _setup()
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
+                 cache_dtype="bf16")
+    pid = eng.register_prefix(phi.embed_tokens(params, _prompt(4)))
+    eng.add_request(phi.embed_tokens(params, _prompt(20)), max_new_tokens=4,
+                    prefix_id=pid)
+    with pytest.raises(NotImplementedError):
+        eng.run()
+
+
+def test_chunked_speculative_lossless():
+    """Chunked admission composes with in-engine n-gram speculation; output
+    stays identical to plain greedy."""
+    params, specs = _setup()
+    ids = _prompt(20, seed=4)
+    emb = phi.embed_tokens(params, ids)
+    plain = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
+                   cache_dtype="bf16")
+    plain.add_request(emb, max_new_tokens=8)
+    ref_tokens = plain.run()[0].tokens
+
+    spec = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
+                  cache_dtype="bf16", speculative=3)
+    spec.add_request(emb, max_new_tokens=8, prompt_ids=ids)
+    assert spec.run()[0].tokens == ref_tokens
+
+
+def test_cache_dtype_auto_policy():
+    assert resolve_cache_dtype("auto", 2048) == "int8"
+    assert resolve_cache_dtype("auto", 4096) == "int8"
+    assert resolve_cache_dtype("auto", 1024) == "bf16"
+    assert resolve_cache_dtype("bf16", 4096) == "bf16"
+    assert resolve_cache_dtype("int8", 64) == "int8"
+
+    params, specs = _setup()
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(8,))
+    assert eng.cache_dtype == "int8"
+    assert len(eng.cache[0]) == 4  # int8 4-tuple per layer
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=256, buckets=(8,))
+    assert eng.cache_dtype == "bf16"
+    assert len(eng.cache[0]) == 2
+
+    with pytest.raises(ValueError, match="cache_dtype"):
+        Engine(params, CFG, specs, cache_dtype="fp8")
