@@ -39,10 +39,82 @@ def parse_args(argv=None):
                         "(int8 wins past ~1024 live tokens), else bf16")
     p.add_argument("--speculative", type=int, default=0,
                    help="n-gram speculation window k (greedy only; 0 = off)")
+    p.add_argument("--long-prompt", action="store_true",
+                   help="long-context mesh mode (requires --tp >= 2): "
+                        "sequence-sharded ring prefill over the mesh feeds "
+                        "the decode cache, then head-sharded TP decode. "
+                        "Single-chip long prompts need no flag — the engine "
+                        "chunk-prefills past its largest bucket. prompt-len "
+                        "is rounded up to a multiple of tp (ring shards).")
     args = p.parse_args(argv)
     for name in vars(args):
         setattr(args, name, get_var(name, args))
     return args
+
+
+def _serve_long_prompt(args, params, config, specs, rng):
+    """Mesh long-context serving: sequence-sharded ring prefill
+    (``parallel/sp_prefill.py``) feeds a fixed-capacity decode cache, then
+    head-sharded TP decode continues over the same mesh — activation memory
+    per device is O(T/tp) during prefill, so prompts far beyond one chip's
+    HBM (and far beyond the reference's 2048 ceiling, ``layers.py:393``)
+    prefill exactly."""
+    from ternary_vllm_tpu.models import phi_tp
+    from ternary_vllm_tpu.parallel.mesh import make_mesh
+    from ternary_vllm_tpu.parallel.sp_prefill import sp_prefill_to_cache
+
+    if args.tp < 2:
+        raise SystemExit(
+            "--long-prompt is the mesh path: needs --tp >= 2 (single-chip "
+            "long prompts need no flag — the engine chunk-prefills past its "
+            "largest bucket)"
+        )
+    if len(jax.devices()) < args.tp:
+        raise SystemExit(
+            f"--tp {args.tp} needs {args.tp} devices, have {len(jax.devices())}"
+        )
+    mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[: args.tp],
+                     axis_names=("data", "model"))
+    # checkpoint restore commits params to one device; replicate over the mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    t = -(-args.prompt_len // args.tp) * args.tp  # ring shards T evenly
+    if t + args.max_new_tokens > args.max_len:
+        raise SystemExit(
+            f"prompt ({t}) + max-new-tokens ({args.max_new_tokens}) exceeds "
+            f"--max-len {args.max_len}"
+        )
+    ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, t)))
+    emb = phi.embed_tokens(params, ids)
+
+    t0 = time.perf_counter()
+    last, cache, _ = sp_prefill_to_cache(
+        params, config, specs, emb, mesh, max_len=args.max_len
+    )
+    first = int(jnp.argmax(last[0]))
+    t1 = time.perf_counter()
+
+    tp_params = phi_tp.shard_tp_params(
+        phi_tp.tp_relayout_packed_params(params, config, args.tp), mesh
+    )
+    tp_cache = phi_tp.shard_tp_cache(cache, mesh)
+    step = phi_tp.make_tp_decode_step(config, mesh)
+    toks = [first]
+    t2 = time.perf_counter()
+    for i in range(args.max_new_tokens - 1):
+        e = phi.embed_tokens(tp_params, jnp.asarray([[toks[-1]]]))
+        logits, tp_cache = step(tp_params, tp_cache, e, jnp.int32(t + i))
+        toks.append(int(phi_tp.tp_greedy_token(logits[:, -1], mesh)[0]))
+        if toks[-1] == args.eos_id:
+            break
+    t3 = time.perf_counter()
+    n = len(toks)
+    print("tokens:", toks[:32])
+    print(f"ring prefill T={t} over tp{args.tp}: {t1 - t0:.2f}s; "
+          f"{n} tokens decoded at {max(n - 1, 1) / max(t3 - t2, 1e-9):.1f} t/s "
+          f"(per-token dispatch)")
 
 
 def main(argv=None):
@@ -51,6 +123,9 @@ def main(argv=None):
 
     params, config, specs = load_checkpoint(args.artifact)
     rng = np.random.default_rng(0)
+
+    if args.long_prompt:
+        return _serve_long_prompt(args, params, config, specs, rng)
 
     mesh = None
     if args.tp > 1:

@@ -90,3 +90,38 @@ def test_env_override(monkeypatch, capsys):
 
     args = parse_args(["--tiny", "--quantization", "binary"])
     assert args.quantization == "ternary"
+
+
+def test_serve_long_prompt_mesh_cli(tmp_path, capsys):
+    """--long-prompt: ring prefill over a tp4 CPU mesh feeds the cache, TP
+    decode continues — the long-context mesh serving path end-to-end."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from ternary_vllm_tpu.cli.convert import main as convert_main
+    from ternary_vllm_tpu.cli.serve import main as serve_main
+
+    out = str(tmp_path / "artifact-long")
+    convert_main(["--tiny", "--quantization", "ternary", "--out", out])
+    capsys.readouterr()
+    serve_main([
+        "--artifact", out, "--long-prompt", "--tp", "4",
+        "--prompt-len", "40", "--max-len", "96", "--max-new-tokens", "4",
+    ])
+    stdout = capsys.readouterr().out
+    assert "ring prefill T=40 over tp4" in stdout
+    assert "t/s" in stdout
+
+
+def test_serve_long_prompt_requires_mesh(tmp_path, capsys):
+    pytest.importorskip("orbax.checkpoint")
+    from ternary_vllm_tpu.cli.convert import main as convert_main
+    from ternary_vllm_tpu.cli.serve import main as serve_main
+
+    out = str(tmp_path / "artifact-long2")
+    convert_main(["--tiny", "--quantization", "ternary", "--out", out])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="tp >= 2"):
+        serve_main(["--artifact", out, "--long-prompt", "--prompt-len", "40"])
