@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Long-context serving benchmark: 8k-token prompts through the Engine's
+chunked admission on one chip (the reference hard-caps context at 2048,
+``layers.py:393``; VERDICT r2 item 1 asks for a *servable* long-context
+artifact with measured prefill latency + decode t/s).
+
+Flagship 24-layer w2a8 packed-ternary decoder, batch 1.  The prompt is
+admitted in bucket-sized chunks (1024); decode runs in bursts of 64 through
+the engine.  bf16 vs int8 KV shows the auto-policy crossover at long
+context.
+
+Usage: python bench_long.py                      # all configs
+       python bench_long.py --worker CACHE_DTYPE PROMPT_LEN MAX_LEN
+Prints one JSON line per measurement.
+"""
+
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+DECODE_STEPS = 128
+BURST = 64
+
+# one shared capacity: chunk count is traced, so every prompt length reuses
+# the same compiled programs (and the persistent compile cache makes retried
+# subprocess attempts cheap)
+MAX_LEN = 8192 + 192
+CONFIGS = [
+    # (prompt_len, max_len)
+    (4096, MAX_LEN),
+    (8192, MAX_LEN),
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _flagship():
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+
+    cfg = phi.MOONDREAM_PHI_CONFIG
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    key = jax.random.PRNGKey(0)
+
+    def rand_packed_linear(k, kdim, ndim):
+        w = jax.random.normal(k, (kdim, ndim))
+        return {
+            "packed": pack_ternary(w),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": rand_packed_linear(ks[0], d, 3 * d),
+                "out_proj": rand_packed_linear(ks[1], d, d),
+                "fc1": rand_packed_linear(ks[2], d, f),
+                "fc2": rand_packed_linear(ks[3], f, d),
+            }
+        )
+    head_linear = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": head_linear,
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
+    )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    return cfg, params, specs
+
+
+def worker(cache_dtype: str, prompt_len: int, max_len: int) -> None:
+    import jax
+
+    # the remote-compile relay honors the persistent cache: first attempt
+    # pays the (many-minute) flagship compile once, retries and other
+    # configs reuse it
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.serve.engine import Engine
+
+    cfg, params, specs = _flagship()
+    d = cfg.hidden_size
+    jax.block_until_ready(params)
+    log(f"[worker {cache_dtype} pl={prompt_len} ml={max_len}] params built")
+
+    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, prompt_len, d)) * 0.1).astype(jnp.bfloat16)
+    jax.block_until_ready(emb)
+
+    def run():
+        eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
+                     burst=BURST, cache_dtype=cache_dtype)
+        t0 = time.perf_counter()
+        eng.add_request(emb, max_new_tokens=1 + DECODE_STEPS)
+        eng._admit()
+        # a real fetch, not block_until_ready: this transport can report
+        # readiness before remote execution finishes
+        np.asarray(eng.tokens)
+        t1 = time.perf_counter()
+        done = eng.run()
+        assert len(done) == 1 and len(done[0].tokens) == 1 + DECODE_STEPS
+        t2 = time.perf_counter()
+        return t1 - t0, DECODE_STEPS / (t2 - t1)
+
+    run()  # compile
+    log("[worker] compiled")
+    results = [run() for _ in range(3)]
+    prefill_s = min(r[0] for r in results)
+    tps = max(r[1] for r in results)
+    print(json.dumps({
+        "cache": cache_dtype, "prompt_len": prompt_len, "max_len": max_len,
+        "prefill_s": round(prefill_s, 3), "decode_tps": round(tps, 1),
+    }), flush=True)
+
+
+def measure(cache_dtype, prompt_len, max_len, attempts=4, timeout=560):
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker", cache_dtype,
+                 str(prompt_len), str(max_len)],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+            log(f"[measure] attempt {i}: rc={proc.returncode}; "
+                f"stderr: {proc.stderr.strip().splitlines()[-4:]}")
+        except subprocess.TimeoutExpired:
+            log(f"[measure] attempt {i}: timeout, retrying")
+    raise RuntimeError(f"failed: {cache_dtype} {prompt_len}")
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+    for prompt_len, max_len in CONFIGS:
+        for cd in ("bf16", "int8"):
+            print(json.dumps(measure(cd, prompt_len, max_len)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -519,6 +519,19 @@ def _decoder_layer(
         from ternary_vllm_tpu.ops.prefill_attention import prefill_attention
 
         attn = prefill_attention(q, _repeat_kv(k, h // kvh), _repeat_kv(v, h // kvh))
+    elif new_kv is not None and t > 1 and not _is_vector_pos(pos):
+        # chunk prefill at an offset (chunked long-prompt admission, suffix
+        # after a cached prefix): flash kernel over the live cache prefix —
+        # reads scale with start+t, not capacity (ops/chunk_prefill_attention)
+        from ternary_vllm_tpu.ops.chunk_prefill_attention import (
+            chunk_prefill_attention,
+            chunk_prefill_attention_int8,
+        )
+
+        if len(new_kv) == 4:
+            attn = chunk_prefill_attention_int8(q, *new_kv, pos)
+        else:
+            attn = chunk_prefill_attention(q, new_kv[0], new_kv[1], pos)
     else:
         k_full = _repeat_kv(k_full, h // kvh)
         v_full = _repeat_kv(v_full, h // kvh)

@@ -1,0 +1,315 @@
+"""Chunk-prefill attention: a block of queries attends a fixed-capacity KV
+cache prefix — the flash-style Pallas kernel behind the engine's chunked
+long-prompt admission and prefix-cached suffix prefill.
+
+Why: prefilling a chunk at ``start > 0`` (long-prompt chunked admission,
+suffix-after-prefix splicing) previously fell back to masked dense attention
+over the FULL cache capacity — an (B, H, T, C) f32 score tensor (1+ GB at
+C=8192) that is slow to compile and reads all ``C`` slots regardless of live
+length.  This kernel:
+
+* gets ``start`` as a scalar-prefetch argument, so ONE compiled program
+  serves every chunk of every admission (the dense path recompiled per
+  shape and materialized full scores);
+* bounds HBM reads by the live length — the BlockSpec index map clamps
+  dead KV chunks to the last needed block and Pallas skips the repeat DMA
+  (same trick as ``ops/decode_attention.py``);
+* runs online-softmax per 128-query tile entirely in VMEM.
+
+Semantics: query row ``i`` of the chunk sits at global position
+``start + i`` and attends cache slots ``[0, start + i]``.  The chunk's own
+K/V must already be written into the cache at ``[start, start + T)``
+(callers do the rope + cache write first; garbage beyond the written region
+is never attended because it sits at higher positions than every query).
+
+GQA-aware: kv head ``g`` serves query heads ``[g*groups, (g+1)*groups)`` —
+the cache is read with KV heads, never repeated/materialized.
+
+Reference capability: the TF model's prefill attention is masked dense
+softmax (``impl/tf/moondream/layers.py:130-141``) with context hard-capped
+at 2048 (``layers.py:393``); this kernel is the TPU-native long-context
+replacement (net-new, no reference counterpart).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-1e30)
+
+
+def _kernel(
+    start_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, tq, ckv, groups, scale,
+):
+    """One program = one (batch, kv-head, q-tile, kv-chunk) cell; kv-chunk is
+    the innermost (arbitrary) grid dim accumulating online softmax."""
+    bi = pl.program_id(0)
+    qb = pl.program_id(2)
+    c = pl.program_id(3)
+    start = start_ref[bi]
+    q_hi = start + (qb + 1) * tq - 1  # highest global q position in the tile
+    last = q_hi // ckv  # last kv chunk any of these queries may attend
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        hd = q_ref.shape[-1]
+        rows = groups * tq
+        q = q_ref[0, 0].reshape(rows, hd)  # (groups*tq, hd), groups-major
+        k = k_ref[0, 0].astype(q.dtype)  # (ckv, hd); cache may be bf16 vs f32 q
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (rows, ckv)
+        iq = jax.lax.broadcasted_iota(jnp.int32, (rows, ckv), 0) % tq
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, ckv), 1) + c * ckv
+        ok = kv_pos <= start + qb * tq + iq
+        logits = jnp.where(ok, logits, NEG_INF)
+
+        m_prev = m_ref[:]  # (rows, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)  # (rows, ckv) f32
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (rows, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(3) - 1))
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0, 0] = out.reshape(groups, tq, q_ref.shape[-1]).astype(o_ref.dtype)
+
+
+def _kernel_i8(
+    start_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, tq, ckv, groups, scale,
+):
+    """int8-cache variant: raw codes feed both dots; the per-position scales
+    (lane-major (B, KVH, 1, C)) multiply the logits / probabilities instead
+    of dequantizing (ops/decode_attention.py's trick, tiled over queries)."""
+    bi = pl.program_id(0)
+    qb = pl.program_id(2)
+    c = pl.program_id(3)
+    start = start_ref[bi]
+    q_hi = start + (qb + 1) * tq - 1
+    last = q_hi // ckv
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        hd = q_ref.shape[-1]
+        rows = groups * tq
+        q = q_ref[0, 0].reshape(rows, hd)
+        # int8 codes are exact in bf16 (<= 2^8): cast feeds the MXU
+        k = kq_ref[0, 0].astype(q.dtype)  # (ckv, hd)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        logits = logits * ks_ref[0, 0].astype(jnp.float32) * scale  # (1, ckv) bcast
+        iq = jax.lax.broadcasted_iota(jnp.int32, (rows, ckv), 0) % tq
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, ckv), 1) + c * ckv
+        ok = kv_pos <= start + qb * tq + iq
+        logits = jnp.where(ok, logits, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        ps = p * vs_ref[0, 0].astype(jnp.float32)  # fold V scales per column
+        pv = jax.lax.dot_general(
+            ps.astype(q.dtype), vq_ref[0, 0].astype(q.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(3) - 1))
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0, 0] = out.reshape(groups, tq, q_ref.shape[-1]).astype(o_ref.dtype)
+
+
+def _grid_spec(b, kvh, groups, t, c_cap, hd, tq, ckv, int8):
+    n_q = t // tq
+    n_c = c_cap // ckv
+
+    def q_map(bi, kh, qb, c, start):
+        return (bi, kh, 0, qb, 0)
+
+    def kv_map(bi, kh, qb, c, start):
+        # clamp dead chunks to the last live one -> repeated block index ->
+        # Pallas skips the DMA; reads scale with live length, not capacity
+        last = (start[bi] + (qb + 1) * tq - 1) // ckv
+        return (bi, kh, jnp.minimum(c, last), 0)
+
+    def scale_map(bi, kh, qb, c, start):
+        last = (start[bi] + (qb + 1) * tq - 1) // ckv
+        return (bi, kh, 0, jnp.minimum(c, last))
+
+    kv_spec = pl.BlockSpec((1, 1, ckv, hd), kv_map, memory_space=pltpu.VMEM)
+    if int8:
+        sc_spec = pl.BlockSpec((1, 1, 1, ckv), scale_map, memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, 1, groups, tq, hd), q_map, memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, 1, groups, tq, hd), q_map, memory_space=pltpu.VMEM),
+            kv_spec, kv_spec,
+        ]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kvh, n_q, n_c),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, groups, tq, hd), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((groups * tq, 1), jnp.float32),
+            pltpu.VMEM((groups * tq, 1), jnp.float32),
+            pltpu.VMEM((groups * tq, hd), jnp.float32),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "ckv"))
+def _chunk_prefill_pallas(q, k_cache, v_cache, start, tq: int, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = k_cache.shape[1], k_cache.shape[2]
+    groups = h // kvh
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _grid_spec(b, kvh, groups, t, c_cap, hd, tq, ckv, int8=False)
+    kernel = functools.partial(
+        _kernel, tq=tq, ckv=ckv, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, k_cache, v_cache)
+    return out.reshape(b, h, t, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "ckv"))
+def _chunk_prefill_pallas_i8(q, kq, ks, vq, vs, start, tq: int, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = kq.shape[1], kq.shape[2]
+    groups = h // kvh
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _grid_spec(b, kvh, groups, t, c_cap, hd, tq, ckv, int8=True)
+    kernel = functools.partial(
+        _kernel_i8, tq=tq, ckv=ckv, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, kq, ks, vq, vs)
+    return out.reshape(b, h, t, hd)
+
+
+def _xla_fallback(q, k, v, start):
+    """Masked dense attention over the whole capacity (the pre-kernel path)."""
+    b, h, t, hd = q.shape
+    kvh = k.shape[1]
+    groups = h // kvh
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if groups > 1:
+        kf = jnp.repeat(kf, groups, axis=1)
+        vf = jnp.repeat(vf, groups, axis=1)
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q.astype(jnp.float32), kf,
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(hd)
+    q_pos = jnp.asarray(start, jnp.int32).reshape(-1, 1, 1, 1) + jnp.arange(t)[None, None, :, None]
+    kv_pos = jnp.arange(k.shape[2])[None, None, None, :]
+    logits = jnp.where(kv_pos <= q_pos, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", p, vf).astype(q.dtype)
+
+
+def _shapes_ok(t, c_cap, tq, ckv):
+    return t % tq == 0 and c_cap % ckv == 0 and c_cap >= ckv
+
+
+def chunk_prefill_attention(
+    q, k_cache, v_cache, start, *, tq: int = 128, ckv: int = 256, impl: str = "auto"
+):
+    """Prefill-chunk attention against a bf16/f32 fixed-capacity cache.
+
+    Args:
+      q: (B, H, T, hd) rotary-embedded queries at global positions
+        ``[start, start + T)``.
+      k_cache/v_cache: (B, KVH, C, hd) with the chunk's K/V already written
+        at ``[start, start + T)``.
+      start: scalar or (B,) int32 — global position of the chunk's first row.
+
+    Returns (B, H, T, hd)."""
+    t, c_cap = q.shape[2], k_cache.shape[2]
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = _shapes_ok(t, c_cap, tq, ckv) and (
+        impl == "pallas" or (impl == "auto" and on_tpu)
+    )
+    if impl == "pallas" and not _shapes_ok(t, c_cap, tq, ckv):
+        raise ValueError(
+            f"chunk_prefill_attention pallas needs T % {tq} == 0 and "
+            f"C % {ckv} == 0, got T={t}, C={c_cap}"
+        )
+    if not use_pallas:
+        return _xla_fallback(q, k_cache, v_cache, start)
+    return _chunk_prefill_pallas(q, k_cache, v_cache, jnp.asarray(start), tq, ckv)
+
+
+def chunk_prefill_attention_int8(
+    q, kq, ks, vq, vs, start, *, tq: int = 128, ckv: int = 256, impl: str = "auto"
+):
+    """int8-cache variant (``phi.init_cache(..., "int8")`` layout: codes
+    (B, KVH, C, hd), scales lane-major (B, KVH, 1, C))."""
+    t, c_cap = q.shape[2], kq.shape[2]
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = _shapes_ok(t, c_cap, tq, ckv) and (
+        impl == "pallas" or (impl == "auto" and on_tpu)
+    )
+    if impl == "pallas" and not _shapes_ok(t, c_cap, tq, ckv):
+        raise ValueError(
+            f"chunk_prefill_attention_int8 pallas needs T % {tq} == 0 and "
+            f"C % {ckv} == 0, got T={t}, C={c_cap}"
+        )
+    if not use_pallas:
+        ks_t = ks.transpose(0, 1, 3, 2).astype(jnp.float32)
+        vs_t = vs.transpose(0, 1, 3, 2).astype(jnp.float32)
+        k = (kq.astype(jnp.float32) * ks_t).astype(q.dtype)
+        v = (vq.astype(jnp.float32) * vs_t).astype(q.dtype)
+        return _xla_fallback(q, k, v, start)
+    return _chunk_prefill_pallas_i8(q, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)

@@ -1,0 +1,91 @@
+"""Chunk-prefill attention kernel: parity vs masked dense attention for
+bf16/f32 and int8 caches, GQA, batched starts (interpret mode on CPU)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ternary_vllm_tpu.ops.chunk_prefill_attention import (
+    _xla_fallback,
+    chunk_prefill_attention,
+    chunk_prefill_attention_int8,
+)
+
+
+def _setup(b=1, h=4, kvh=4, t=128, cap=512, start=130, hd=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (b, h, t, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, kvh, cap, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, kvh, cap, hd), jnp.float32)
+    return q, k, v, jnp.full((b,), start, jnp.int32)
+
+
+def test_matches_dense_fallback():
+    q, k, v, start = _setup()
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_start_zero_fresh_sequence():
+    q, k, v, _ = _setup(t=256, cap=256, start=0)
+    out = chunk_prefill_attention(q, k, v, jnp.int32(0), impl="pallas")
+    ref = _xla_fallback(q, k, v, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_garbage_beyond_live_region_ignored():
+    """Cache slots past start+T hold garbage (pad rows, stale data); they sit
+    at positions above every query and must not affect the output."""
+    q, k, v, start = _setup(t=128, cap=512, start=64)
+    out1 = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    k2 = k.at[:, :, 64 + 128 :].set(1e4)
+    v2 = v.at[:, :, 64 + 128 :].set(-1e4)
+    out2 = chunk_prefill_attention(q, k2, v2, start, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+def test_gqa_groups():
+    q, k, v, start = _setup(h=8, kvh=2, t=128, cap=256, start=100)
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_batched_distinct_starts():
+    q, k, v, _ = _setup(b=2, t=128, cap=512)
+    start = jnp.asarray([0, 256], jnp.int32)
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_multi_tile_queries():
+    q, k, v, start = _setup(t=384, cap=1024, start=512)
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_int8_cache_parity():
+    from ternary_vllm_tpu.models.phi import _quantize_kv
+
+    q, k, v, start = _setup(t=128, cap=512, start=200)
+    kq, ksc = _quantize_kv(k)
+    vq, vsc = _quantize_kv(v)
+    out = chunk_prefill_attention_int8(q, kq, ksc, vq, vsc, start, impl="pallas")
+    ref = chunk_prefill_attention_int8(q, kq, ksc, vq, vsc, start, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_unaligned_shapes_raise_or_fall_back():
+    q, k, v, start = _setup(t=100, cap=512)
+    with pytest.raises(ValueError, match="T % 128"):
+        chunk_prefill_attention(q, k, v, start, impl="pallas")
+    out = chunk_prefill_attention(q, k, v, start)  # auto: silent fallback
+    assert out.shape == q.shape
