@@ -25,6 +25,16 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokens", default=None, help=".npy int array (N, T) of eval tokens")
+    p.add_argument("--text-file", default=None,
+                   help="corpus file for the gate (.txt, or .npy/.npz token "
+                        "stream); cut into --seq-len windows — supply >=50k "
+                        "tokens for a trustworthy gate")
+    p.add_argument("--tokenizer", default=None,
+                   help="local HF tokenizer dir for --text-file (byte-level "
+                        "fallback without it: smoke-quality only)")
+    p.add_argument("--seq-len", type=int, default=512)
+    p.add_argument("--max-tokens", type=int, default=None,
+                   help="truncate the corpus stream (default: use all)")
     p.add_argument("--quantization", default="ternary",
                    choices=["ternary", "binary", "binary01", "smoothBinary"])
     p.add_argument("--start-skip", type=int, default=0)
@@ -50,17 +60,36 @@ def main(argv=None):
         print("no --checkpoint: random init (pipeline validation mode)")
         params = phi.init_phi_params(jax.random.PRNGKey(0), config)
 
-    if args.tokens:
-        ids = np.load(args.tokens)
+    if args.text_file:
+        from ternary_vllm_tpu.eval.perplexity import corpus_token_batches
+
+        tok = None
+        if args.tokenizer:
+            import transformers
+
+            tok = transformers.AutoTokenizer.from_pretrained(
+                args.tokenizer, local_files_only=True
+            )
+        batches = corpus_token_batches(
+            args.text_file, tokenizer=tok, vocab_size=config.vocab_size,
+            seq_len=args.seq_len, batch_size=args.batch_size,
+            max_tokens=args.max_tokens,
+        )
+        n_tok = sum(int(b["input_ids"].size) for b in batches)
+        print(f"corpus: {n_tok} tokens in {len(batches)} batches "
+              f"(seq_len={args.seq_len})")
     else:
-        ids = np.random.default_rng(0).integers(0, config.vocab_size, (8, 32))
-    batches = [
-        {
-            "input_ids": jnp.asarray(ids[i : i + args.batch_size]),
-            "labels": jnp.asarray(ids[i : i + args.batch_size]),
-        }
-        for i in range(0, len(ids), args.batch_size)
-    ]
+        if args.tokens:
+            ids = np.load(args.tokens)
+        else:
+            ids = np.random.default_rng(0).integers(0, config.vocab_size, (8, 32))
+        batches = [
+            {
+                "input_ids": jnp.asarray(ids[i : i + args.batch_size]),
+                "labels": jnp.asarray(ids[i : i + args.batch_size]),
+            }
+            for i in range(0, len(ids), args.batch_size)
+        ]
 
     qc = QuantConfig(
         quantization=args.quantization,

@@ -113,12 +113,11 @@ def check_parity(model, ids: np.ndarray, mse_gate: float = 1e-6) -> dict:
     return report, params, config
 
 
-def accuracy_gate(params, config, ids: np.ndarray, ppl_gate: Optional[float]) -> dict:
-    """FP vs ternary-calibrated (packed) perplexity on the same real tokens."""
+def accuracy_gate(params, config, batches: list, ppl_gate: Optional[float]) -> dict:
+    """FP vs ternary-calibrated (packed) perplexity on real token batches."""
     from ternary_vllm_tpu.eval.perplexity import compare_quantization
 
-    batch = {"input_ids": ids, "labels": ids}
-    rep = compare_quantization(params, config, [batch])
+    rep = compare_quantization(params, config, batches)
     if ppl_gate is not None:
         assert rep["rel_ppl_increase"] < ppl_gate, (
             f"calibrated ternary ppl increase {rep['rel_ppl_increase']:.4f} "
@@ -130,7 +129,14 @@ def accuracy_gate(params, config, ids: np.ndarray, ppl_gate: Optional[float]) ->
 def main(argv=None):
     p = argparse.ArgumentParser(description="real-weights parity + accuracy gate")
     p.add_argument("--model", required=True, help="local HF model directory")
-    p.add_argument("--text-file", default=None)
+    p.add_argument("--text-file", default=None,
+                   help="corpus for the accuracy gate (.txt tokenized with "
+                        "the model's tokenizer, or .npy/.npz token stream); "
+                        "the gate then runs over ALL --gate-seq-len windows "
+                        "(supply >=50k tokens for a trustworthy gate) while "
+                        "the torch-parity check keeps its --n-tokens snippet")
+    p.add_argument("--gate-seq-len", type=int, default=512)
+    p.add_argument("--gate-max-tokens", type=int, default=None)
     p.add_argument("--n-tokens", type=int, default=64)
     p.add_argument("--mse-gate", type=float, default=1e-6,
                    help="relative logits-MSE gate vs torch (None disables)")
@@ -141,16 +147,29 @@ def main(argv=None):
     for name in vars(args):
         setattr(args, name, get_var(name, args))
 
+    model, tok = load_hf_model(args.model)
     text = DEFAULT_TEXT
-    if args.text_file:
+    if args.text_file and not args.text_file.endswith((".npy", ".npz")):
         with open(args.text_file) as f:
             text = f.read()
-
-    model, tok = load_hf_model(args.model)
     ids = real_tokens(tok, text, model.config.vocab_size, args.n_tokens)
     report, params, config = check_parity(model, ids, args.mse_gate)
     print("parity:", json.dumps(report))
-    acc = accuracy_gate(params, config, ids, args.ppl_gate)
+
+    if args.text_file:
+        # full-corpus gate: every --gate-seq-len window of the supplied text
+        from ternary_vllm_tpu.eval.perplexity import corpus_token_batches
+
+        batches = corpus_token_batches(
+            args.text_file, tokenizer=tok, vocab_size=config.vocab_size,
+            seq_len=args.gate_seq_len, max_tokens=args.gate_max_tokens,
+        )
+        n_tok = sum(int(np.asarray(b["input_ids"]).size) for b in batches)
+        print(f"accuracy gate corpus: {n_tok} tokens "
+              f"({len(batches)} batches of seq_len {args.gate_seq_len})")
+    else:
+        batches = [{"input_ids": ids, "labels": ids}]  # 64-token fallback
+    acc = accuracy_gate(params, config, batches, args.ppl_gate)
     print("accuracy:", json.dumps({k: float(v) for k, v in acc.items()}))
 
 

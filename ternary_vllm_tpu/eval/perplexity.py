@@ -19,6 +19,67 @@ from ternary_vllm_tpu.models import phi
 from ternary_vllm_tpu.train.qat import cross_entropy_loss
 
 
+def corpus_token_batches(
+    source: str,
+    *,
+    tokenizer=None,
+    vocab_size: Optional[int] = None,
+    seq_len: int = 512,
+    batch_size: int = 4,
+    max_tokens: Optional[int] = None,
+) -> list:
+    """Token batches from a corpus file — the accuracy gate's data loader
+    (VERDICT r2 item 8: the gate must be able to run over >=50k real tokens,
+    not just a 64-token snippet).
+
+    ``source`` is either a token array (``.npy``/``.npz`` int array, flattened)
+    or a text file.  Text is tokenized with ``tokenizer`` (an HF tokenizer)
+    when given; otherwise a byte-level fallback maps UTF-8 bytes to ids < 256
+    — deterministic and vocab-safe, but smoke-quality only (real gates should
+    pass the checkpoint's tokenizer).
+
+    The stream is cut into ``floor(n / seq_len)`` non-overlapping windows of
+    ``seq_len`` tokens (causal LM: labels = input_ids, HF shift semantics),
+    grouped ``batch_size`` windows per batch.  ``max_tokens`` truncates the
+    stream first."""
+    if source.endswith((".npy", ".npz")):
+        arr = np.load(source)
+        if hasattr(arr, "files"):  # npz: first array
+            arr = arr[arr.files[0]]
+        ids = np.asarray(arr).reshape(-1).astype(np.int32)
+    else:
+        with open(source, "rb") as f:
+            raw = f.read()
+        if tokenizer is not None:
+            ids = np.asarray(
+                tokenizer(raw.decode("utf-8", errors="replace"))["input_ids"],
+                np.int32,
+            ).reshape(-1)
+        else:
+            ids = np.frombuffer(raw, np.uint8).astype(np.int32)
+    if max_tokens is not None:
+        ids = ids[:max_tokens]
+    if vocab_size is not None:
+        if tokenizer is None:
+            ids = ids % vocab_size  # byte fallback is always < 256 anyway
+        elif int(ids.max(initial=0)) >= vocab_size:
+            raise ValueError(
+                f"corpus token id {int(ids.max())} >= model vocab {vocab_size}"
+            )
+    n_windows = len(ids) // seq_len
+    if n_windows == 0:
+        raise ValueError(
+            f"corpus has {len(ids)} tokens < seq_len {seq_len}; need at least "
+            "one full window"
+        )
+    windows = ids[: n_windows * seq_len].reshape(n_windows, seq_len)
+    batches = []
+    for i in range(0, n_windows, batch_size):
+        chunk = jnp.asarray(windows[i : i + batch_size])
+        batches.append({"input_ids": chunk, "labels": chunk})
+    return batches
+
+
 def evaluate_loss(params, config, specs, batches: Iterable[dict]) -> float:
     """Mean causal-LM loss over batches of {input_ids | inputs_embeds, labels,
     [attn_mask]} (HF shift semantics, −100 ignored)."""

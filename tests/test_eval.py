@@ -69,3 +69,51 @@ def test_qat_recovers_quantization_loss():
     assert q1 < q0, (q0, q1)
     # recovered a large share of the gap
     assert (q0 - q1) / max(q0 - dense_loss, 1e-6) > 0.5, (dense_loss, q0, q1)
+
+
+def test_corpus_token_batches_npy(tmp_path):
+    from ternary_vllm_tpu.eval.perplexity import corpus_token_batches
+
+    ids = np.arange(1000) % 50
+    np.save(tmp_path / "c.npy", ids)
+    batches = corpus_token_batches(
+        str(tmp_path / "c.npy"), vocab_size=64, seq_len=128, batch_size=2
+    )
+    total = sum(int(b["input_ids"].size) for b in batches)
+    assert total == (1000 // 128) * 128
+    assert all(b["input_ids"].shape[1] == 128 for b in batches)
+    flat = np.concatenate([np.asarray(b["input_ids"]).reshape(-1) for b in batches])
+    np.testing.assert_array_equal(flat, ids[: len(flat)])
+
+
+def test_corpus_token_batches_text_byte_fallback(tmp_path):
+    from ternary_vllm_tpu.eval.perplexity import corpus_token_batches
+
+    (tmp_path / "c.txt").write_text("hello world, " * 100)
+    batches = corpus_token_batches(
+        str(tmp_path / "c.txt"), vocab_size=300, seq_len=64, batch_size=4
+    )
+    assert batches and all(int(b["input_ids"].max()) < 256 for b in batches)
+
+
+def test_corpus_token_batches_too_small_raises(tmp_path):
+    import pytest
+
+    from ternary_vllm_tpu.eval.perplexity import corpus_token_batches
+
+    (tmp_path / "tiny.txt").write_text("abc")
+    with pytest.raises(ValueError, match="full window"):
+        corpus_token_batches(str(tmp_path / "tiny.txt"), seq_len=64)
+
+
+def test_eval_cli_text_file(tmp_path, capsys):
+    from ternary_vllm_tpu.cli.eval import main
+
+    (tmp_path / "corpus.txt").write_text("the quick brown fox " * 50)
+    main([
+        "--tiny", "--text-file", str(tmp_path / "corpus.txt"),
+        "--seq-len", "32", "--batch-size", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "corpus:" in out
+    assert "rel_ppl_increase" in out

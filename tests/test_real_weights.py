@@ -58,7 +58,8 @@ def test_real_weights_accuracy_report(loaded):
 
     model, ids = loaded
     _, params, config = check_parity(model, ids, mse_gate=None)
-    rep = accuracy_gate(params, config, np.asarray(ids), ppl_gate=None)
+    batch = {"input_ids": np.asarray(ids), "labels": np.asarray(ids)}
+    rep = accuracy_gate(params, config, [batch], ppl_gate=None)
     assert np.isfinite(rep["quant_ppl"])
     assert rep["rel_ppl_increase"] < 10.0
 
@@ -85,4 +86,34 @@ def test_parity_recipe_on_saved_checkpoint(tmp_path, capsys):
     parity.main(["--model", str(tmp_path / "tiny-phi"), "--n-tokens", "24"])
     out = capsys.readouterr().out
     assert '"greedy_match": true' in out
+    assert "accuracy:" in out
+
+
+def test_parity_recipe_with_corpus_file(tmp_path, capsys):
+    """--text-file routes the accuracy gate over ALL corpus windows (not the
+    64-token snippet): the full-corpus gate machinery end-to-end."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.PhiConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+        hidden_act="gelu_new",
+    )
+    torch.manual_seed(0)
+    transformers.PhiForCausalLM(cfg).save_pretrained(tmp_path / "tiny-phi")
+
+    # token-stream corpus (.npy): no tokenizer needed for the tiny model
+    ids = np.random.default_rng(0).integers(0, 128, (400,))
+    np.save(tmp_path / "corpus.npy", ids)
+
+    from ternary_vllm_tpu.cli import parity
+
+    parity.main([
+        "--model", str(tmp_path / "tiny-phi"), "--n-tokens", "24",
+        "--text-file", str(tmp_path / "corpus.npy"), "--gate-seq-len", "32",
+    ])
+    out = capsys.readouterr().out
+    assert "accuracy gate corpus: 384 tokens" in out
     assert "accuracy:" in out
