@@ -26,8 +26,10 @@ BURST = 64
 
 # one shared capacity: chunk count is traced, so every prompt length reuses
 # the same compiled programs (and the persistent compile cache makes retried
-# subprocess attempts cheap)
-MAX_LEN = 8192 + 192
+# subprocess attempts cheap).  Must be a multiple of 256: the fused decode /
+# chunk-prefill kernels require capacity % chunk == 0 or they fall back to
+# full-capacity XLA attention (measured 119 t/s vs ~400 at 4k live).
+MAX_LEN = 8192 + 256
 CONFIGS = [
     # (prompt_len, max_len)
     (4096, MAX_LEN),

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Speculative-decoding benchmark (VERDICT r2 weak 5: the in-engine n-gram
+speculation had correctness tests but no recorded perf).
+
+Flagship engine, batch 1, greedy.  Three regimes per k:
+
+* ``spec`` — history seeded with the prompt ids; with a random-init model
+  greedy decode settles into a cycle, which n-gram lookup then predicts —
+  the repetitive-text BEST case.
+* ``spec-miss`` — history seeded empty (no prompt ids), so proposals
+  essentially never match: the WORST case, paying the k+1-token verify
+  forward every step for nothing.
+* ``plain`` — k = 0 baseline.
+
+Reports tokens/s and the measured acceptance rate (accepted proposals per
+verify step, 0..k).
+
+Usage: python bench_spec.py            # all regimes
+       python bench_spec.py --worker K SEED_HISTORY(0|1)
+"""
+
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+PROMPT_LEN = 64
+NEW_TOKENS = 257
+MAX_LEN = 1024
+BURST = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def worker(k: int, seed_history: bool) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+    from ternary_vllm_tpu.serve.engine import Engine
+
+    cfg = phi.MOONDREAM_PHI_CONFIG
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_hidden_layers + 2)
+
+    def mk(key, kdim, ndim):
+        return {
+            "packed": pack_ternary(jax.random.normal(key, (kdim, ndim))),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": mk(ks[0], d, 3 * d),
+                "out_proj": mk(ks[1], d, d),
+                "fc1": mk(ks[2], d, f),
+                "fc2": mk(ks[3], f, d),
+            }
+        )
+    head = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": head,
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
+    )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    jax.block_until_ready(params)
+    log(f"[worker k={k} seed={seed_history}] params built")
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, PROMPT_LEN)))
+    emb = phi.embed_tokens(params, ids)
+
+    def run():
+        eng = Engine(params, cfg, specs, max_batch=1, max_len=MAX_LEN,
+                     burst=BURST, cache_dtype="bf16", speculative=k)
+        eng.add_request(emb, max_new_tokens=NEW_TOKENS,
+                        prompt_ids=ids if seed_history else None)
+        iters = 0
+        t0 = time.perf_counter()
+        while eng.queue or any(s is not None for s in eng.slots):
+            eng.step()
+            iters += 1
+        dt = time.perf_counter() - t0
+        toks = len(eng.completed[-1].tokens)
+        return toks / dt, toks, iters
+
+    run()
+    log("[worker] compiled")
+    best = max(run() for _ in range(3))
+    tps, toks, iters = best
+    # per verify step: 1 guaranteed token + accepted proposals
+    acc = (toks - 1 - iters) / max(iters, 1) if k else 0.0
+    print(json.dumps({
+        "k": k, "seeded": bool(seed_history), "tps": round(tps, 1),
+        "accept_per_step": round(max(acc, 0.0), 2), "iters": iters,
+    }), flush=True)
+
+
+def measure(k, seeded, attempts=4, timeout=560):
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker", str(k), str(int(seeded))],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+            log(f"[measure k={k}] attempt {i}: rc={proc.returncode}; "
+                f"stderr: {proc.stderr.strip().splitlines()[-4:]}")
+        except subprocess.TimeoutExpired:
+            log(f"[measure k={k}] attempt {i}: timeout, retrying")
+    raise RuntimeError(f"failed: k={k} seeded={seeded}")
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), bool(int(sys.argv[3])))
+        return
+    print(json.dumps(measure(0, True)), flush=True)
+    for k in (4, 8):
+        print(json.dumps(measure(k, True)), flush=True)    # best case
+        print(json.dumps(measure(k, False)), flush=True)   # always-miss
+
+
+if __name__ == "__main__":
+    main()

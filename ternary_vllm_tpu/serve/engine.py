@@ -239,16 +239,11 @@ def _seed_history(history, hist_len, slot, prompt_ids, prompt_len, first_token):
     return history, hist_len
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "specs", "k", "n", "tp"),
-    donate_argnums=(3, 6, 7),
-)
-def _spec_decode_step(
+def _spec_iter(
     params, config, specs, cache, tokens, pos, history, hist_len, active,
-    *, k, n, tp=None,
+    eos_ids, k, n, tp,
 ):
-    """One speculative engine iteration (greedy slots only): per-slot n-gram
+    """One speculative iteration (greedy slots only): per-slot n-gram
     proposals from the device-side history, ONE verify forward over ``k+1``
     tokens with per-slot vector positions, longest-matching-prefix accept.
 
@@ -260,11 +255,12 @@ def _spec_decode_step(
     as :func:`ternary_vllm_tpu.serve.speculative.speculative_decode_loop`.
 
     Returns ``(toks_all (B, k+2), n_valid (B,), cache, pos, history,
-    hist_len)``: column 0 is the entry token (burst-compatible), columns
-    ``1..n_valid`` are the newly emitted tokens per row."""
+    hist_len, new_tokens, new_active)``: column 0 is the entry token,
+    columns ``1..n_valid`` are the newly emitted tokens per row; rows whose
+    accepted run contains their eos are deactivated (burst mode stops them
+    device-side; single-step mode frees the slot on the host instead)."""
     from ternary_vllm_tpu.serve.speculative import ngram_propose
 
-    b = tokens.shape[0]
     props = ngram_propose(history, hist_len, k=k, n=n)  # (B, k)
     seq = jnp.concatenate([tokens[:, None], props], axis=1)  # (B, k+1)
     embeds = phi.embed_tokens(params, seq)
@@ -286,7 +282,60 @@ def _spec_decode_step(
         active, jnp.take_along_axis(out, acc[:, None], axis=1)[:, 0], tokens
     )
     toks_all = jnp.concatenate([tokens[:, None], out], axis=1)  # (B, k+2)
+    jcol = jnp.arange(k + 1)[None, :]
+    eos_hit = jnp.any((jcol < n_valid[:, None]) & (out == eos_ids[:, None]), axis=1)
+    new_active = active & jnp.logical_not(eos_hit)
+    return toks_all, n_valid, cache, pos, history, hist_len, new_tokens, new_active
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "specs", "k", "n", "tp"),
+    donate_argnums=(3, 6, 7),
+)
+def _spec_decode_step(
+    params, config, specs, cache, tokens, pos, history, hist_len, active,
+    *, k, n, tp=None,
+):
+    """Single speculative iteration (see :func:`_spec_iter`); eos handling
+    stays on the host (the slot is freed before the next step)."""
+    eos_ids = jnp.full_like(tokens, -2)  # never matches: host handles eos
+    toks_all, n_valid, cache, pos, history, hist_len, new_tokens, _ = _spec_iter(
+        params, config, specs, cache, tokens, pos, history, hist_len, active,
+        eos_ids, k, n, tp,
+    )
     return toks_all, n_valid, cache, pos, history, hist_len, new_tokens
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "specs", "k", "n", "n_steps", "tp"),
+    donate_argnums=(3, 6, 7),
+)
+def _spec_decode_burst(
+    params, config, specs, cache, tokens, pos, history, hist_len, active,
+    eos_ids, *, k, n, n_steps, tp=None,
+):
+    """``n_steps`` fused speculative iterations — one dispatch per burst
+    (host round-trips dominate per-step costs on remote-attached TPUs, and
+    each spec iteration otherwise costs one).  Rows stop advancing once an
+    accepted run contains their eos.
+
+    Returns ``(toks_seq (n_steps, B, k+2), nvalid_seq (n_steps, B), cache,
+    pos, history, hist_len, tokens)``."""
+
+    def body(carry, _):
+        tok, cache, pos, hist, hlen, act = carry
+        toks_all, n_valid, cache, pos, hist, hlen, tok, act = _spec_iter(
+            params, config, specs, cache, tok, pos, hist, hlen, act,
+            eos_ids, k, n, tp,
+        )
+        return (tok, cache, pos, hist, hlen, act), (toks_all, n_valid)
+
+    (tok, cache, pos, history, hist_len, _), (toks_seq, nvalid_seq) = jax.lax.scan(
+        body, (tokens, cache, pos, history, hist_len, active), None, length=n_steps
+    )
+    return toks_seq, nvalid_seq, cache, pos, history, hist_len, tok
 
 
 @partial(jax.jit, static_argnames=("config", "specs", "temperature", "tp"), donate_argnums=(3,))
@@ -347,6 +396,12 @@ class Engine:
         self.specs = phi.freeze_specs(specs) if specs is not None else None
         self.tp = (mesh, tp_axis, tp_a8) if mesh is not None else None
         self.max_batch = max_batch
+        if max_len >= 256 and max_len % 256 != 0:
+            # the fused decode / chunk-prefill kernels need capacity % chunk
+            # == 0 or they silently fall back to full-capacity XLA attention
+            # (measured 4-8x decode slowdown at long context) — round UP: a
+            # little spare capacity is free, the fallback is not
+            max_len = -(-max_len // 256) * 256
         self.max_len = max_len
         self.temperature = temperature
         self.burst = burst  # fused decode steps per scheduling point
@@ -612,9 +667,18 @@ class Engine:
         max_active_pos = max(
             (self.pos_host[i] for i, a in enumerate(active_list) if a), default=0
         )
-        nvalid_host = None  # per-slot count of valid sampled columns (spec mode)
-        adv_host = None  # per-slot device pos advance (spec mode)
+        b = self.max_batch
+        # per-slot results of this iteration (host side):
+        #   entry_host (B,)      — the slot's entry token (prefill's first
+        #                          token for freshly admitted slots)
+        #   sampled_by_slot      — device-sampled token stream per slot
+        #   adv_by_slot or None  — device pos advance per slot (None = derive
+        #                          from the eos scan, plain-decode semantics)
+        adv_by_slot = None
         n_steps = min(self.burst, self.max_len - 1 - max_active_pos)
+        eos_ids = jnp.asarray(
+            [r.eos_id if r is not None else -2 for r in self.slots], jnp.int32
+        )
         # When the verify window no longer fits the cache the engine falls
         # back to plain decode for the iteration; histories go stale, which
         # only degrades PROPOSALS (verification keeps output lossless).
@@ -622,24 +686,52 @@ class Engine:
             self.spec_k
             and max_active_pos + self.spec_k + 1 < self.max_len
         ):
-            (
-                toks, nvalid, self.cache, self.pos,
-                self.history, self.hist_len, self.tokens,
-            ) = _spec_decode_step(
-                self.params, self.config, self.specs, self.cache,
-                self.tokens, self.pos, self.history, self.hist_len, active,
-                k=self.spec_k, n=self.spec_n, tp=self.tp,
+            # fused spec burst: each iteration may emit up to k+1 tokens, so
+            # size the burst for the all-accept worst case
+            spec_steps = min(
+                self.burst,
+                max((self.max_len - 1 - max_active_pos) // (self.spec_k + 1), 1),
             )
-            toks_host = np.asarray(toks)  # (B, k+2); col 0 = entry
-            nvalid_host = np.asarray(nvalid).tolist()
-            # spec mode advances the device pos by nvalid UNCONDITIONALLY
-            # (rows that hit eos are freed and re-prefilled, so the stale
-            # advance never matters — but the host mirror must match)
-            adv_host = nvalid_host
+            if spec_steps > 1:
+                (
+                    toks_seq, nvalid_seq, self.cache, self.pos,
+                    self.history, self.hist_len, self.tokens,
+                ) = _spec_decode_burst(
+                    self.params, self.config, self.specs, self.cache,
+                    self.tokens, self.pos, self.history, self.hist_len,
+                    active, eos_ids,
+                    k=self.spec_k, n=self.spec_n, n_steps=spec_steps, tp=self.tp,
+                )
+                toks_seq = np.asarray(toks_seq)  # (S, B, k+2)
+                nv = np.asarray(nvalid_seq)  # (S, B)
+                entry_host = toks_seq[0, :, 0]
+                sampled_by_slot = [
+                    np.concatenate(
+                        [toks_seq[s, i, 1 : 1 + nv[s, i]] for s in range(len(nv))]
+                    )
+                    for i in range(b)
+                ]
+                adv_by_slot = nv.sum(axis=0).tolist()
+            else:
+                (
+                    toks, nvalid, self.cache, self.pos,
+                    self.history, self.hist_len, self.tokens,
+                ) = _spec_decode_step(
+                    self.params, self.config, self.specs, self.cache,
+                    self.tokens, self.pos, self.history, self.hist_len, active,
+                    k=self.spec_k, n=self.spec_n, tp=self.tp,
+                )
+                toks_host = np.asarray(toks)  # (B, k+2); col 0 = entry
+                nvalid_host = np.asarray(nvalid)
+                entry_host = toks_host[:, 0]
+                sampled_by_slot = [
+                    toks_host[i, 1 : 1 + nvalid_host[i]] for i in range(b)
+                ]
+                # spec mode advances the device pos by nvalid UNCONDITIONALLY
+                # (rows that hit eos are freed and re-prefilled, so the stale
+                # advance never matters — but the host mirror must match)
+                adv_by_slot = nvalid_host.tolist()
         elif n_steps > 1:
-            eos_ids = jnp.asarray(
-                [r.eos_id if r is not None else -2 for r in self.slots], jnp.int32
-            )
             toks, self.cache, self.pos = _decode_burst(
                 self.params, self.config, self.specs, self.cache,
                 self.tokens, self.pos, sub, self.temperature, active, eos_ids,
@@ -647,6 +739,8 @@ class Engine:
             )
             self.tokens = toks[:, -1]
             toks_host = np.asarray(toks)  # (B, 1 + n_steps); col 0 = entry
+            entry_host = toks_host[:, 0]
+            sampled_by_slot = [toks_host[i, 1:] for i in range(b)]
         else:
             entry = self.tokens
             nxt, self.cache, self.pos = _decode_step(
@@ -655,28 +749,29 @@ class Engine:
             )
             self.tokens = nxt
             toks_host = np.asarray(jnp.stack([entry, nxt], axis=1))
+            entry_host = toks_host[:, 0]
+            sampled_by_slot = [toks_host[i, 1:] for i in range(b)]
 
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            row = toks_host[slot]
-            # col 0 is this slot's entry token: the prefill's first token if
-            # freshly admitted (report it), else the already-reported last
+            # the entry token: the prefill's first token if freshly admitted
+            # (report it), else the already-reported last token
             first_pending = self._pending_first[slot]
             self._pending_first[slot] = False
             if first_pending:
-                tok0 = int(row[0])
+                tok0 = int(entry_host[slot])
                 req.tokens.append(tok0)
                 if req.on_token is not None:
                     req.on_token(tok0, req)
                 if tok0 == req.eos_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(req)
-            # mirror the device pos rule over the SAMPLED columns: pos
-            # advances each burst step until (and including) the first eos;
-            # in spec mode the device advance is the accepted count directly
-            sampled = row[1 : 1 + nvalid_host[slot]] if nvalid_host is not None else row[1:]
-            if adv_host is not None:
-                adv = adv_host[slot]
+            # mirror the device pos rule over the SAMPLED tokens: pos
+            # advances each step until (and including) the first eos; in
+            # spec mode the device advance is the accepted count directly
+            sampled = sampled_by_slot[slot]
+            if adv_by_slot is not None:
+                adv = adv_by_slot[slot]
             else:
                 adv = len(sampled)
                 for k in range(len(sampled)):

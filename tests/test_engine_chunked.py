@@ -136,3 +136,15 @@ def test_cache_dtype_auto_policy():
 
     with pytest.raises(ValueError, match="cache_dtype"):
         Engine(params, CFG, specs, cache_dtype="fp8")
+
+
+def test_max_len_rounds_to_kernel_alignment():
+    """Unaligned capacity silently disables the length-bounded attention
+    kernels (capacity % chunk != 0 -> full-capacity XLA fallback); the
+    engine rounds up instead."""
+    params, specs = _setup()
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=8384, buckets=(8,))
+    assert eng.max_len == 8448
+    assert eng.cache[0][0].shape[2] == 8448
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,))
+    assert eng.max_len == 64  # small caches: fallbacks handle, keep as asked

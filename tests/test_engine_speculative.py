@@ -105,3 +105,52 @@ def test_spec_engine_slot_reuse(params):
 def test_spec_requires_greedy():
     with pytest.raises(ValueError, match="temperature"):
         Engine(None, CFG, phi.layer_specs(CFG), temperature=0.7, speculative=4)
+
+
+def test_spec_burst_lossless():
+    """burst > 1 with speculation: fused spec-burst iterations produce
+    byte-identical output to plain greedy decode (and to burst=1 spec)."""
+    import jax
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.serve.engine import Engine
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg)
+    specs = phi.layer_specs(cfg)
+    ids = jnp.asarray(np.random.default_rng(7).integers(0, cfg.vocab_size, (1, 12)))
+    emb = phi.embed_tokens(params, ids)
+
+    plain = Engine(params, cfg, specs, max_batch=1, max_len=128, buckets=(16,))
+    plain.add_request(emb, max_new_tokens=20)
+    ref = plain.run()[0].tokens
+
+    for burst in (1, 8):
+        eng = Engine(params, cfg, specs, max_batch=1, max_len=128, buckets=(16,),
+                     speculative=3, burst=burst)
+        eng.add_request(emb, max_new_tokens=20, prompt_ids=ids)
+        assert eng.run()[0].tokens == ref, f"burst={burst}"
+
+
+def test_spec_burst_eos_stops_device_side():
+    import jax
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.serve.engine import Engine
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg)
+    specs = phi.layer_specs(cfg)
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, cfg.vocab_size, (1, 12)))
+    emb = phi.embed_tokens(params, ids)
+
+    probe = Engine(params, cfg, specs, max_batch=1, max_len=128, buckets=(16,))
+    probe.add_request(emb, max_new_tokens=12)
+    toks = probe.run()[0].tokens
+    eos = toks[5]
+
+    eng = Engine(params, cfg, specs, max_batch=1, max_len=128, buckets=(16,),
+                 speculative=3, burst=8)
+    eng.add_request(emb, max_new_tokens=12, eos_id=eos, prompt_ids=ids)
+    got = eng.run()[0].tokens
+    assert got == toks[: toks.index(eos) + 1]
