@@ -7,16 +7,16 @@ Flagship engine, batch 1, greedy.  Three regimes per k:
 * ``spec`` — history seeded with the prompt ids; with a random-init model
   greedy decode settles into a cycle, which n-gram lookup then predicts —
   the repetitive-text BEST case.
-* ``spec-miss`` — history seeded empty (no prompt ids), so proposals
-  essentially never match: the WORST case, paying the k+1-token verify
-  forward every step for nothing.
-* ``plain`` — k = 0 baseline.
+* ``spec-miss`` — the bench replaces ``ngram_propose`` with a constant
+  never-emitted token, so every proposal is rejected: the WORST case,
+  paying the k+1-token verify forward every step for one token.
+* ``plain`` — k = 0 baseline (same engine, burst decode).
 
 Reports tokens/s and the measured acceptance rate (accepted proposals per
-verify step, 0..k).
+verify forward, 0..k, from ``Engine.stats``).
 
 Usage: python bench_spec.py            # all regimes
-       python bench_spec.py --worker K SEED_HISTORY(0|1)
+       python bench_spec.py --worker K SABOTAGE(0|1)
 """
 
 import json
@@ -36,12 +36,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def worker(k: int, seed_history: bool) -> None:
+def worker(k: int, sabotage: bool) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
+
+    if sabotage:
+        # worst case: propose a token greedy decode never emits on this
+        # random model (checked below), so every proposal is rejected
+        import ternary_vllm_tpu.serve.speculative as spec_mod
+
+        def never_match(history, hist_len, *, k, n):
+            b = history.shape[0]
+            return jnp.full((b, k), 51199, jnp.int32)
+
+        spec_mod.ngram_propose = never_match
 
     from ternary_vllm_tpu.models import phi
     from ternary_vllm_tpu.ops.packing import pack_ternary
@@ -102,34 +113,30 @@ def worker(k: int, seed_history: bool) -> None:
     def run():
         eng = Engine(params, cfg, specs, max_batch=1, max_len=MAX_LEN,
                      burst=BURST, cache_dtype="bf16", speculative=k)
-        eng.add_request(emb, max_new_tokens=NEW_TOKENS,
-                        prompt_ids=ids if seed_history else None)
-        iters = 0
+        eng.add_request(emb, max_new_tokens=NEW_TOKENS, prompt_ids=ids)
         t0 = time.perf_counter()
-        while eng.queue or any(s is not None for s in eng.slots):
-            eng.step()
-            iters += 1
+        eng.run()
         dt = time.perf_counter() - t0
         toks = len(eng.completed[-1].tokens)
-        return toks / dt, toks, iters
+        verify = eng.stats["spec_verify_steps"]
+        acc = eng.stats["spec_accepted"] / verify if verify else 0.0
+        return toks / dt, toks, acc
 
     run()
     log("[worker] compiled")
     best = max(run() for _ in range(3))
-    tps, toks, iters = best
-    # per verify step: 1 guaranteed token + accepted proposals
-    acc = (toks - 1 - iters) / max(iters, 1) if k else 0.0
+    tps, toks, acc = best
     print(json.dumps({
-        "k": k, "seeded": bool(seed_history), "tps": round(tps, 1),
-        "accept_per_step": round(max(acc, 0.0), 2), "iters": iters,
+        "k": k, "sabotage": bool(sabotage), "tps": round(tps, 1),
+        "accept_per_verify": round(acc, 2),
     }), flush=True)
 
 
-def measure(k, seeded, attempts=4, timeout=560):
+def measure(k, sabotage, attempts=4, timeout=560):
     for i in range(attempts):
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--worker", str(k), str(int(seeded))],
+                [sys.executable, __file__, "--worker", str(k), str(int(sabotage))],
                 capture_output=True, text=True, timeout=timeout,
             )
             for line in reversed(proc.stdout.strip().splitlines()):
@@ -141,17 +148,17 @@ def measure(k, seeded, attempts=4, timeout=560):
                 f"stderr: {proc.stderr.strip().splitlines()[-4:]}")
         except subprocess.TimeoutExpired:
             log(f"[measure k={k}] attempt {i}: timeout, retrying")
-    raise RuntimeError(f"failed: k={k} seeded={seeded}")
+    raise RuntimeError(f"failed: k={k} sabotage={sabotage}")
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), bool(int(sys.argv[3])))
         return
-    print(json.dumps(measure(0, True)), flush=True)
+    print(json.dumps(measure(0, False)), flush=True)
     for k in (4, 8):
-        print(json.dumps(measure(k, True)), flush=True)    # best case
-        print(json.dumps(measure(k, False)), flush=True)   # always-miss
+        print(json.dumps(measure(k, False)), flush=True)   # cyclic best case
+        print(json.dumps(measure(k, True)), flush=True)    # always-miss
 
 
 if __name__ == "__main__":

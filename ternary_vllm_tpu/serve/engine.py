@@ -435,6 +435,9 @@ class Engine:
         self.queue: deque[Request] = deque()
         self._ids = itertools.count()
         self.completed: List[Request] = []
+        # speculation observability: device verify-forwards run and proposals
+        # accepted (acceptance rate = spec_accepted / spec_verify_steps, 0..k)
+        self.stats = {"spec_verify_steps": 0, "spec_accepted": 0}
         # prefix cache: id -> (kv_blocks, prefix_len, bucket); the KV of a shared
         # prompt prefix (system prompt / image embeddings) prefilled ONCE
         self._prefixes: Dict[int, Any] = {}
@@ -704,6 +707,8 @@ class Engine:
                 )
                 toks_seq = np.asarray(toks_seq)  # (S, B, k+2)
                 nv = np.asarray(nvalid_seq)  # (S, B)
+                self.stats["spec_verify_steps"] += int((nv > 0).sum())
+                self.stats["spec_accepted"] += int((nv[nv > 0] - 1).sum())
                 entry_host = toks_seq[0, :, 0]
                 sampled_by_slot = [
                     np.concatenate(
@@ -723,6 +728,10 @@ class Engine:
                 )
                 toks_host = np.asarray(toks)  # (B, k+2); col 0 = entry
                 nvalid_host = np.asarray(nvalid)
+                self.stats["spec_verify_steps"] += int((nvalid_host > 0).sum())
+                self.stats["spec_accepted"] += int(
+                    (nvalid_host[nvalid_host > 0] - 1).sum()
+                )
                 entry_host = toks_host[:, 0]
                 sampled_by_slot = [
                     toks_host[i, 1 : 1 + nvalid_host[i]] for i in range(b)
