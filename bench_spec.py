@@ -105,7 +105,7 @@ def worker(k: int, sabotage: bool) -> None:
     )
     params, specs = fuse_packed_decoder_params(params, specs)
     jax.block_until_ready(params)
-    log(f"[worker k={k} seed={seed_history}] params built")
+    log(f"[worker k={k} sabotage={sabotage}] params built")
 
     ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, PROMPT_LEN)))
     emb = phi.embed_tokens(params, ids)

@@ -519,10 +519,12 @@ def _decoder_layer(
         from ternary_vllm_tpu.ops.prefill_attention import prefill_attention
 
         attn = prefill_attention(q, _repeat_kv(k, h // kvh), _repeat_kv(v, h // kvh))
-    elif new_kv is not None and t > 1 and not _is_vector_pos(pos):
+    elif new_kv is not None and t > 1:
         # chunk prefill at an offset (chunked long-prompt admission, suffix
-        # after a cached prefix): flash kernel over the live cache prefix —
-        # reads scale with start+t, not capacity (ops/chunk_prefill_attention)
+        # after a cached prefix, speculative k+1-token verify windows —
+        # scalar or per-slot vector positions): flash kernel over the live
+        # cache prefix — reads scale with start+t, not capacity
+        # (ops/chunk_prefill_attention; small T pads to the 128-row tile)
         from ternary_vllm_tpu.ops.chunk_prefill_attention import (
             chunk_prefill_attention,
             chunk_prefill_attention_int8,

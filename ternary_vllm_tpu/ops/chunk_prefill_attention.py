@@ -150,6 +150,196 @@ def _kernel_i8(
         o_ref[0, 0] = out.reshape(groups, tq, q_ref.shape[-1]).astype(o_ref.dtype)
 
 
+def _small_kernel(
+    start_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, tq, ckv, groups, scale,
+):
+    """Small-T variant (speculative verify windows, short suffixes): ALL kv
+    heads in one program per (batch, kv-chunk) cell — per-head grid programs
+    cost ~2-5 us of fixed overhead each, which dwarfs the tiny tile's
+    compute (measured: per-head tiles made k=4 verify 25% SLOWER than the
+    dense fallback; this variant is the decode kernel's all-heads shape
+    generalized from 1 query row to tq)."""
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    start = start_ref[bi]
+    last = (start + tq - 1) // ckv
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        kvh, _, hd = k_ref.shape[1], k_ref.shape[2], k_ref.shape[3]
+        rows = groups * tq
+        q = q_ref[0].reshape(kvh, rows, hd)
+        k = k_ref[0].astype(q.dtype)  # (kvh, ckv, hd)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # (kvh, rows, ckv)
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 1) % tq
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 2) + c * ckv
+        ok = kv_pos <= start + iq
+        logits = jnp.where(ok, logits, NEG_INF)
+        logits2 = logits.reshape(kvh * rows, ckv)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.reshape(kvh, rows, ckv).astype(v_ref.dtype), v_ref[0],
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ).reshape(kvh * rows, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        kvh, hd = k_ref.shape[1], k_ref.shape[3]
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(kvh, groups, tq, hd).astype(o_ref.dtype)
+
+
+def _small_kernel_i8(
+    start_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, tq, ckv, groups, scale,
+):
+    """int8-cache small-T variant: scales fold into logits/probs."""
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    start = start_ref[bi]
+    last = (start + tq - 1) // ckv
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        kvh, hd = kq_ref.shape[1], kq_ref.shape[3]
+        rows = groups * tq
+        q = q_ref[0].reshape(kvh, rows, hd)
+        k = kq_ref[0].astype(q.dtype)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        logits = logits * ks_ref[0].astype(jnp.float32) * scale  # (kvh,1,ckv) bcast
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 1) % tq
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 2) + c * ckv
+        logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+        logits2 = logits.reshape(kvh * rows, ckv)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        ps = p.reshape(kvh, rows, ckv) * vs_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            ps.astype(q.dtype), vq_ref[0].astype(q.dtype),
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ).reshape(kvh * rows, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        kvh, hd = kq_ref.shape[1], kq_ref.shape[3]
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(kvh, groups, tq, hd).astype(o_ref.dtype)
+
+
+def _small_grid_spec(b, kvh, groups, c_cap, hd, tq, ckv, int8):
+    n_c = c_cap // ckv
+
+    def q_map(bi, c, start):
+        return (bi, 0, 0, 0, 0)
+
+    def kv_map(bi, c, start):
+        last = (start[bi] + tq - 1) // ckv
+        return (bi, 0, jnp.minimum(c, last), 0)
+
+    def scale_map(bi, c, start):
+        last = (start[bi] + tq - 1) // ckv
+        return (bi, 0, 0, jnp.minimum(c, last))
+
+    kv_spec = pl.BlockSpec((1, kvh, ckv, hd), kv_map, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, kvh, groups, tq, hd), q_map, memory_space=pltpu.VMEM)
+    if int8:
+        sc_spec = pl.BlockSpec((1, kvh, 1, ckv), scale_map, memory_space=pltpu.VMEM)
+        in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_c),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((kvh * groups * tq, 1), jnp.float32),
+            pltpu.VMEM((kvh * groups * tq, 1), jnp.float32),
+            pltpu.VMEM((kvh * groups * tq, hd), jnp.float32),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "ckv"))
+def _chunk_prefill_pallas_small(q, k_cache, v_cache, start, tq: int, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = k_cache.shape[1], k_cache.shape[2]
+    groups = h // kvh
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _small_grid_spec(b, kvh, groups, c_cap, hd, tq, ckv, int8=False)
+    kernel = functools.partial(
+        _small_kernel, tq=tq, ckv=ckv, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, k_cache, v_cache)
+    return out.reshape(b, h, t, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "ckv"))
+def _chunk_prefill_pallas_small_i8(q, kq, ks, vq, vs, start, tq: int, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = kq.shape[1], kq.shape[2]
+    groups = h // kvh
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _small_grid_spec(b, kvh, groups, c_cap, hd, tq, ckv, int8=True)
+    kernel = functools.partial(
+        _small_kernel_i8, tq=tq, ckv=ckv, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, kq, ks, vq, vs)
+    return out.reshape(b, h, t, hd)
+
+
+#: T at or below this uses the all-heads-per-program small kernel
+_SMALL_T = 32
+
+
 def _grid_spec(b, kvh, groups, t, c_cap, hd, tq, ckv, int8):
     n_q = t // tq
     n_c = c_cap // ckv
@@ -263,6 +453,22 @@ def _shapes_ok(t, c_cap, tq, ckv):
     return t % tq == 0 and c_cap % ckv == 0 and c_cap >= ckv
 
 
+def _pad_q(q, tq):
+    """Pad the query tile dim up to a multiple of ``tq``.
+
+    Pad rows sit at positions AFTER every real row; they may attend garbage
+    cache slots beyond the written region, but q rows are independent in
+    attention, so garbage stays confined to rows the caller slices off.
+    The waste is MXU-only (the KV stream is shared across the tile), which
+    is why small-T cached attention (speculative verify windows, short
+    suffixes) is still far cheaper here than dense full-capacity attention."""
+    t = q.shape[2]
+    tp = -(-t // tq) * tq
+    if tp == t:
+        return q, t
+    return jnp.pad(q, ((0, 0), (0, 0), (0, tp - t), (0, 0))), t
+
+
 def chunk_prefill_attention(
     q, k_cache, v_cache, start, *, tq: int = 128, ckv: int = 256, impl: str = "auto"
 ):
@@ -270,7 +476,7 @@ def chunk_prefill_attention(
 
     Args:
       q: (B, H, T, hd) rotary-embedded queries at global positions
-        ``[start, start + T)``.
+        ``[start, start + T)``; T is padded to the 128-row tile internally.
       k_cache/v_cache: (B, KVH, C, hd) with the chunk's K/V already written
         at ``[start, start + T)``.
       start: scalar or (B,) int32 — global position of the chunk's first row.
@@ -278,17 +484,23 @@ def chunk_prefill_attention(
     Returns (B, H, T, hd)."""
     t, c_cap = q.shape[2], k_cache.shape[2]
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = _shapes_ok(t, c_cap, tq, ckv) and (
-        impl == "pallas" or (impl == "auto" and on_tpu)
-    )
-    if impl == "pallas" and not _shapes_ok(t, c_cap, tq, ckv):
+    cap_ok = c_cap % ckv == 0 and c_cap >= ckv
+    use_pallas = cap_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if impl == "pallas" and not cap_ok:
         raise ValueError(
-            f"chunk_prefill_attention pallas needs T % {tq} == 0 and "
-            f"C % {ckv} == 0, got T={t}, C={c_cap}"
+            f"chunk_prefill_attention pallas needs C % {ckv} == 0, got C={c_cap}"
         )
     if not use_pallas:
         return _xla_fallback(q, k_cache, v_cache, start)
-    return _chunk_prefill_pallas(q, k_cache, v_cache, jnp.asarray(start), tq, ckv)
+    if t <= _SMALL_T:
+        qp, t = _pad_q(q, _SMALL_T)
+        out = _chunk_prefill_pallas_small(
+            qp, k_cache, v_cache, jnp.asarray(start), _SMALL_T, ckv
+        )
+        return out[:, :, :t]
+    qp, t = _pad_q(q, tq)
+    out = _chunk_prefill_pallas(qp, k_cache, v_cache, jnp.asarray(start), tq, ckv)
+    return out[:, :, :t]
 
 
 def chunk_prefill_attention_int8(
@@ -298,13 +510,11 @@ def chunk_prefill_attention_int8(
     (B, KVH, C, hd), scales lane-major (B, KVH, 1, C))."""
     t, c_cap = q.shape[2], kq.shape[2]
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = _shapes_ok(t, c_cap, tq, ckv) and (
-        impl == "pallas" or (impl == "auto" and on_tpu)
-    )
-    if impl == "pallas" and not _shapes_ok(t, c_cap, tq, ckv):
+    cap_ok = c_cap % ckv == 0 and c_cap >= ckv
+    use_pallas = cap_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if impl == "pallas" and not cap_ok:
         raise ValueError(
-            f"chunk_prefill_attention_int8 pallas needs T % {tq} == 0 and "
-            f"C % {ckv} == 0, got T={t}, C={c_cap}"
+            f"chunk_prefill_attention_int8 pallas needs C % {ckv} == 0, got C={c_cap}"
         )
     if not use_pallas:
         ks_t = ks.transpose(0, 1, 3, 2).astype(jnp.float32)
@@ -312,4 +522,12 @@ def chunk_prefill_attention_int8(
         k = (kq.astype(jnp.float32) * ks_t).astype(q.dtype)
         v = (vq.astype(jnp.float32) * vs_t).astype(q.dtype)
         return _xla_fallback(q, k, v, start)
-    return _chunk_prefill_pallas_i8(q, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)
+    if t <= _SMALL_T:
+        qp, t = _pad_q(q, _SMALL_T)
+        out = _chunk_prefill_pallas_small_i8(
+            qp, kq, ks, vq, vs, jnp.asarray(start), _SMALL_T, ckv
+        )
+        return out[:, :, :t]
+    qp, t = _pad_q(q, tq)
+    out = _chunk_prefill_pallas_i8(qp, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)
+    return out[:, :, :t]

@@ -390,7 +390,10 @@ class Engine:
         speculation INSIDE the batched engine step: each iteration proposes
         ``k`` tokens per slot from that slot's device-side history and
         verifies them in one forward — accepted runs emit several tokens per
-        step with output identical to plain greedy decode (lossless)."""
+        step with output identical to plain greedy decode (lossless).
+        Measured (BENCHMARKS.md): k=4 is +30% on repetitive output but −34%
+        when proposals never match, so the default is OFF — enable for
+        repetitive/structured workloads."""
         self.params = params
         self.config = config
         self.specs = phi.freeze_specs(specs) if specs is not None else None

@@ -83,9 +83,48 @@ def test_int8_cache_parity():
     )
 
 
-def test_unaligned_shapes_raise_or_fall_back():
+def test_unaligned_t_pads_to_tile():
+    """T not a tile multiple (speculative verify windows, short suffixes):
+    q pads to 128 rows internally; output matches dense on the real rows."""
     q, k, v, start = _setup(t=100, cap=512)
-    with pytest.raises(ValueError, match="T % 128"):
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    assert out.shape == q.shape
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_tiny_t_verify_window():
+    q, k, v, start = _setup(t=5, cap=512, start=77)
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_unaligned_capacity_raises_or_falls_back():
+    q, k, v, start = _setup(t=128, cap=500)
+    with pytest.raises(ValueError, match="C % 256"):
         chunk_prefill_attention(q, k, v, start, impl="pallas")
     out = chunk_prefill_attention(q, k, v, start)  # auto: silent fallback
     assert out.shape == q.shape
+
+
+def test_small_kernel_parity_bf16_and_int8():
+    """The all-heads small-T kernel (t <= 32) matches dense, including GQA
+    and batched distinct starts."""
+    from ternary_vllm_tpu.models.phi import _quantize_kv
+
+    for h, kvh in ((4, 4), (8, 2)):
+        q, k, v, _ = _setup(b=2, h=h, kvh=kvh, t=7, cap=512)
+        start = jnp.asarray([3, 200], jnp.int32)
+        out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+        ref = _xla_fallback(q, k, v, start)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    q, k, v, start = _setup(t=9, cap=512, start=100)
+    kq, ksc = _quantize_kv(k)
+    vq, vsc = _quantize_kv(v)
+    out = chunk_prefill_attention_int8(q, kq, ksc, vq, vsc, start, impl="pallas")
+    ref = chunk_prefill_attention_int8(q, kq, ksc, vq, vsc, start, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-3, atol=5e-3
+    )
