@@ -87,7 +87,7 @@ def config1_single_linear():
     }
 
 
-def config3_vit_throughput(a8: bool = False):
+def config3_vit_throughput(a8: bool = False, batch: int = 8):
     """Ternary ViT-B-class tower: images/sec vs bf16 dense.
 
     Round-3 fix (VERDICT r2 weak 1): the old measurement timed ONE dispatch
@@ -157,7 +157,6 @@ def config3_vit_throughput(a8: bool = False):
                     "b": jnp.zeros((vc.proj_out_size,), jnp.bfloat16)},
         },
     }
-    batch = 8
     imgs = jnp.asarray(
         np.random.default_rng(1).normal(size=(batch, vc.image_size, vc.image_size, 3)),
         jnp.bfloat16,
@@ -231,7 +230,8 @@ def config3_vit_throughput(a8: bool = False):
     lin_flops = 2 * tokens * vc.num_layers * (d * 3 * d + d * d + 2 * d * f)
     mfu = lin_flops / tt / (394e12 if a8 else 197e12)
     return {
-        "metric": "ternary_vitb16_images_per_s" + ("_a8" if a8 else ""),
+        "metric": "ternary_vitb16_images_per_s"
+        + ("_a8" if a8 else "") + (f"_b{batch}" if batch != 8 else ""),
         "value": round(batch / tt, 2),
         "unit": "images/s",
         "vs_baseline": round(td / tt, 3),
@@ -244,6 +244,16 @@ def config3_vit_throughput(a8: bool = False):
 
 def config3b_vit_throughput_a8():
     return config3_vit_throughput(a8=True)
+
+
+def config3c_vit_batch1():
+    """Batch 1 = the VLM serving case (one image per request): the tower is
+    weight-streaming-bound, where packed weights actually pay."""
+    return config3_vit_throughput(a8=False, batch=1)
+
+
+def config3d_vit_batch1_a8():
+    return config3_vit_throughput(a8=True, batch=1)
 
 
 def config4_int8kv_decode():
@@ -745,6 +755,8 @@ CONFIGS = {
     "1_single_linear": config1_single_linear,
     "3_vit_throughput": config3_vit_throughput,
     "3b_vit_throughput_a8": config3b_vit_throughput_a8,
+    "3c_vit_batch1": config3c_vit_batch1,
+    "3d_vit_batch1_a8": config3d_vit_batch1_a8,
     "4_int8kv_decode": config4_int8kv_decode,
     "5_image_prefill": config5_image_prefill,
     "6_qat_train_step": config6_qat_train_step,
