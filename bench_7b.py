@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""7B-class single-chip decode: benchmark + optional profiler trace
+(VERDICT r2 item 2: 300 t/s = 69% of speed-of-light, no breakdown recorded).
+
+Usage:
+  python bench_7b.py --worker [CACHE_DTYPE [MAX_LEN [PROMPT_LEN]]]  # measure
+  python bench_7b.py --trace  [CACHE_DTYPE]                          # + xplane trace
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(cache_dtype="bf16"):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.ops.packing import pack_ternary
+    from ternary_vllm_tpu.quant.quantize import (
+        fuse_packed_decoder_params,
+        quantize_linear_int8,
+    )
+
+    cfg = phi.PhiConfig(
+        vocab_size=51200, hidden_size=4096, intermediate_size=16384,
+        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+        max_position_embeddings=4096,
+    )
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_hidden_layers + 2)
+
+    def mk(k, kdim, ndim):
+        return {
+            "packed": pack_ternary(jax.random.normal(k, (kdim, ndim), jnp.float32)),
+            "scale": jnp.full((ndim,), 0.02, jnp.float32),
+            "b": jnp.zeros((ndim,), jnp.bfloat16),
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+                "wqkv": mk(ks[0], d, 3 * d),
+                "out_proj": mk(ks[1], d, d),
+                "fc1": mk(ks[2], d, f),
+                "fc2": mk(ks[3], f, d),
+            }
+        )
+        log(f"  7b layer {i} packed")
+    head = quantize_linear_int8(
+        {
+            "w": (jax.random.normal(keys[-1], (d, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+            "b": jnp.zeros((cfg.vocab_size,), jnp.bfloat16),
+        }
+    )
+    params = {
+        "wte": (jax.random.normal(keys[-2], (cfg.vocab_size, d)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "lm_head": {
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16), "bias": jnp.zeros((d,), jnp.bfloat16)},
+            "linear": head,
+        },
+    }
+    spec = phi.LinearSpec(kind="packed", mode="ternary", clip_val=100.0, a8=True)
+    specs = tuple(
+        {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
+    )
+    params, specs = fuse_packed_decoder_params(params, specs)
+    specs = phi.freeze_specs(specs)
+    jax.block_until_ready(params)
+    log("  7b params built")
+    return cfg, params, specs
+
+
+def worker(cache_dtype="bf16", max_len=1024, prompt_len=64, trace=False):
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.serve.decode import decode_loop, prefill
+
+    cfg, params, specs = build(cache_dtype)
+    d = cfg.hidden_size
+    cdt = "int8" if cache_dtype == "int8" else jnp.bfloat16
+    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, prompt_len, d)) * 0.1).astype(jnp.bfloat16)
+    steps = 64
+
+    def run(steps=steps):
+        cache = phi.init_cache(cfg, 1, max_len, cdt)
+        jax.block_until_ready(cache)
+        logits, cache = prefill(params, cfg, specs, cache, emb)
+        first = jnp.argmax(logits[:, prompt_len - 1], axis=-1).astype(jnp.int32)
+        first.block_until_ready()
+        t0 = time.perf_counter()
+        tokens, n, cache = decode_loop(
+            params, cfg, specs, cache, first, jnp.int32(prompt_len),
+            max_steps=steps, eos_id=-1,
+        )
+        np.asarray(tokens)
+        return time.perf_counter() - t0
+
+    run()
+    log("  compiled")
+    if trace:
+        logdir = f"/tmp/trace7b-{cache_dtype}"
+        with jax.profiler.trace(logdir):
+            run(32)
+        print(f"trace written to {logdir}", flush=True)
+        from ternary_vllm_tpu.utils.trace_summary import summarize
+
+        print(summarize(logdir, 30), flush=True)
+        return
+    dt = min(run() for _ in range(3))
+    print(json.dumps({
+        "cache": cache_dtype, "max_len": max_len, "prompt_len": prompt_len,
+        "tps": round(steps / dt, 1),
+    }), flush=True)
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--trace":
+        worker(args[1] if len(args) > 1 else "bf16", trace=True)
+        return
+    if args and args[0] == "--worker":
+        cd = args[1] if len(args) > 1 else "bf16"
+        ml = int(args[2]) if len(args) > 2 else 1024
+        pl_ = int(args[3]) if len(args) > 3 else 64
+        worker(cd, ml, pl_)
+        return
+    print("usage: bench_7b.py --worker|--trace ...", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
