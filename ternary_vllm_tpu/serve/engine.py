@@ -91,12 +91,17 @@ _CACHE_DTYPES = {"bf16": jnp.bfloat16, "int8": "int8"}
 _AUTO_INT8_MIN_LEN = 2048
 
 
-def resolve_cache_dtype(cache_dtype: str, max_len: int) -> str:
+def resolve_cache_dtype(cache_dtype: str, max_len: int, head_dim: int = 64) -> str:
     """Resolve the ``cache_dtype="auto"`` policy: int8 when ``max_len`` ≥
     ``_AUTO_INT8_MIN_LEN`` (long-context workload — int8 wins past ~1024 live
-    tokens), bf16 otherwise.  Explicit "bf16"/"int8" pass through."""
+    tokens on the hd=64 flagship) AND ``head_dim < 128`` — on the 7B-class
+    hd=128 config int8 measured a net LOSS at every context tried
+    (0.93-0.97x, BENCHMARKS.md 7B section: the per-step quantize fixed cost
+    outgrows the KV-byte saving).  Explicit "bf16"/"int8" pass through."""
     if cache_dtype == "auto":
-        return "int8" if max_len >= _AUTO_INT8_MIN_LEN else "bf16"
+        if max_len >= _AUTO_INT8_MIN_LEN and head_dim < 128:
+            return "int8"
+        return "bf16"
     return cache_dtype
 
 
@@ -417,7 +422,7 @@ class Engine:
             raise ValueError(
                 f"cache_dtype must be 'auto' or one of {sorted(_CACHE_DTYPES)}"
             )
-        self.cache_dtype = resolve_cache_dtype(cache_dtype, max_len)
+        self.cache_dtype = resolve_cache_dtype(cache_dtype, max_len, config.head_dim)
         self.cache = phi.init_cache(config, max_batch, max_len, _CACHE_DTYPES[self.cache_dtype])
         if self.tp is not None:
             from ternary_vllm_tpu.models import phi_tp

@@ -125,6 +125,9 @@ def test_cache_dtype_auto_policy():
     assert resolve_cache_dtype("auto", 1024) == "bf16"
     assert resolve_cache_dtype("bf16", 4096) == "bf16"
     assert resolve_cache_dtype("int8", 64) == "int8"
+    # hd=128 (7B-class): int8 measured a net loss -> auto stays bf16
+    assert resolve_cache_dtype("auto", 4096, head_dim=128) == "bf16"
+    assert resolve_cache_dtype("int8", 4096, head_dim=128) == "int8"
 
     params, specs = _setup()
     eng = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(8,))
