@@ -133,8 +133,23 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
     b = tokens.shape[0]
     from ternary_vllm_tpu.serve.sampling import sample_token
 
-    def body(carry, _):
-        tok, cache, pos, act, k = carry
+    # lax.while_loop like serve.decode.decode_loop (the scan variant showed
+    # ~73 one-time whole-cache "data formatting" copies per dispatch in the
+    # 8k trace; XLA overlapped them — switching measured neutral t/s — but
+    # the while form keeps the donated cache aliased in place and the two
+    # decode loops structurally identical).  Tokens land in a preallocated
+    # (B, 1 + n_steps) buffer — column 0 = the entry token (the prefill's
+    # first token for freshly admitted slots) so the engine's single
+    # post-burst fetch covers it.
+    toks0 = jnp.zeros((b, 1 + n_steps), jnp.int32)
+    toks0 = jax.lax.dynamic_update_slice(toks0, tokens[:, None], (0, 0))
+
+    def cond(carry):
+        i, *_ = carry
+        return i < n_steps
+
+    def body(carry):
+        i, tok, cache, pos, act, k, toks = carry
         embeds = phi.embed_tokens(params, tok[:, None])
         logits, cache = _forward(params, config, specs, embeds, cache, pos, tp)
         k, sub = jax.random.split(k)
@@ -142,15 +157,12 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
         nxt = jnp.where(act, nxt, tok)
         pos = jnp.where(act, pos + 1, pos)
         act = jnp.logical_and(act, nxt != eos_ids)
-        return (nxt, cache, pos, act, k), nxt
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i + 1))
+        return (i + 1, nxt, cache, pos, act, k, toks)
 
-    (tok, cache, pos, act, _), toks = jax.lax.scan(
-        body, (tokens, cache, pos, active, key), None, length=n_steps
+    _, tok, cache, pos, act, _, toks_all = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, cache, pos, active, key, toks0)
     )
-    # column 0 = the entry token (the prefill's first token for freshly
-    # admitted slots) so the engine's single post-burst fetch covers it —
-    # admission needs NO device->host round-trip of its own
-    toks_all = jnp.concatenate([tokens[:, None], toks.T], axis=1)
     return toks_all, cache, pos  # (B, 1 + n_steps)
 
 
@@ -329,16 +341,35 @@ def _spec_decode_burst(
     Returns ``(toks_seq (n_steps, B, k+2), nvalid_seq (n_steps, B), cache,
     pos, history, hist_len, tokens)``."""
 
-    def body(carry, _):
-        tok, cache, pos, hist, hlen, act = carry
+    # while_loop + preallocated output buffers (see _decode_burst's note)
+    b = tokens.shape[0]
+    toks_seq0 = jnp.zeros((n_steps, b, k + 2), jnp.int32)
+    nvalid_seq0 = jnp.zeros((n_steps, b), jnp.int32)
+
+    def cond(carry):
+        i, *_ = carry
+        return i < n_steps
+
+    def body(carry):
+        i, tok, cache, pos, hist, hlen, act, toks_seq, nvalid_seq = carry
         toks_all, n_valid, cache, pos, hist, hlen, tok, act = _spec_iter(
             params, config, specs, cache, tok, pos, hist, hlen, act,
             eos_ids, k, n, tp,
         )
-        return (tok, cache, pos, hist, hlen, act), (toks_all, n_valid)
+        toks_seq = jax.lax.dynamic_update_slice(
+            toks_seq, toks_all[None], (i, 0, 0)
+        )
+        nvalid_seq = jax.lax.dynamic_update_slice(
+            nvalid_seq, n_valid[None], (i, 0)
+        )
+        return (i + 1, tok, cache, pos, hist, hlen, act, toks_seq, nvalid_seq)
 
-    (tok, cache, pos, history, hist_len, _), (toks_seq, nvalid_seq) = jax.lax.scan(
-        body, (tokens, cache, pos, history, hist_len, active), None, length=n_steps
+    (_, tok, cache, pos, history, hist_len, _, toks_seq, nvalid_seq) = (
+        jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), tokens, cache, pos, history, hist_len, active,
+             toks_seq0, nvalid_seq0),
+        )
     )
     return toks_seq, nvalid_seq, cache, pos, history, hist_len, tok
 
