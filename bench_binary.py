@@ -5,9 +5,9 @@ w2a8 kernels).
 
 Measures greedy decode tokens/s of the flagship 24-layer decoder with
 1-bit weights — ``binary`` ({-1,+1}) and ``binary01`` ({0,1}) — through the
-w1a8 packed kernels (8 bit-planes, int8 MXU) + int8 lm_head, against the
-same bf16 dense baseline bench.py uses.  Unfused specs: the in_proj/out2
-fusion is ternary-q2-only (quant/quantize.py fuse_packed_decoder_params).
+FUSED w1a8 packed kernels (8 bit-planes, int8 MXU, in_proj + dual out2 —
+round 3 extended the fusion beyond ternary) + int8 lm_head, against the
+same bf16 dense baseline bench.py uses.
 
 Usage: python bench_binary.py            # binary + binary01 + dense baseline
        python bench_binary.py --worker MODE   (binary | binary01 | dense)
@@ -85,10 +85,13 @@ def worker(mode: str) -> None:
     if mode == "dense":
         specs = phi.layer_specs(cfg)
     else:
+        from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
+
         spec = phi.LinearSpec(kind="packed", mode=mode, clip_val=100.0, a8=True)
         specs = tuple(
             {n: spec for n in phi.QUANT_LINEARS} for _ in range(cfg.num_hidden_layers)
         )
+        params, specs = fuse_packed_decoder_params(params, specs)
     specs = phi.freeze_specs(specs)
     jax.block_until_ready(params)
     log(f"[worker {mode}] params built")

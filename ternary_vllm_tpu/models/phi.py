@@ -375,7 +375,7 @@ def _decoder_layer(
         both = _qm(
             x,
             p["in_proj"]["packed"],
-            mode="ternary",
+            mode=spec["in_proj"].mode,
             scale=p["in_proj"]["scale"],
             bias=p["in_proj"]["b"],
             clip_val=spec["in_proj"].clip_val,
@@ -432,11 +432,13 @@ def _decoder_layer(
             from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
 
             o2 = p["out2"]
+            o2_mode = spec["out2"].mode
             combined = dual_ternary_matmul(
-                attn, mlp_hidden, o2["packed"], d // 4,
+                attn, mlp_hidden, o2["packed"],
+                d // (4 if o2_mode == "ternary" else 8),
                 o2["scale1"], o2["b1"], o2["scale2"], o2["b2"],
                 clip_val=spec["out2"].clip_val, impl=spec["out2"].impl,
-                a8=spec["out2"].a8, residual=x,
+                a8=spec["out2"].a8, residual=x, mode=o2_mode,
             )
             return combined, new_kv
         attn = apply_linear(spec["out_proj"], p["out_proj"], attn)
@@ -544,11 +546,12 @@ def _decoder_layer(
         from ternary_vllm_tpu.ops.ternary_matmul import dual_ternary_matmul
 
         o2 = p["out2"]
+        o2_mode = spec["out2"].mode
         combined = dual_ternary_matmul(
             attn,
             mlp_hidden,
             o2["packed"],
-            d // 4,
+            d // (4 if o2_mode == "ternary" else 8),
             o2["scale1"],
             o2["b1"],
             o2["scale2"],
@@ -557,6 +560,7 @@ def _decoder_layer(
             impl=spec["out2"].impl,
             a8=spec["out2"].a8,
             residual=x,
+            mode=o2_mode,
         )
         return combined, new_kv
 

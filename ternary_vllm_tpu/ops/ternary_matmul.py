@@ -888,14 +888,17 @@ def _dual_matmul_pallas(
 
 
 def _dual_w2a8_kernel(
-    *refs, s1, s2, bs, n_kt, clip_val, residual=False,
+    *refs, s1, s2, bs, n_kt, clip_val, residual=False, mode="ternary",
 ):
     """w2a8 variant of the dual kernel: bitcast 4-codes-per-lane unpack +
     int8 MXU dots with int32 accumulators (see the w2a8 section above); the
     two sources are int8-quantized in-kernel with separate per-row scales
     and keep separate exact epilogues.  With ``residual``, a third operand is
     added to the output in the epilogue (the parallel block's ``+ x``,
-    reference ``layers.py:347``) — saving one XLA add dispatch per layer."""
+    reference ``layers.py:347``) — saving one XLA add dispatch per layer.
+    ``mode`` selects the bit-plane geometry and code→value epilogue exactly
+    as in the single kernel (ternary: 4×2-bit planes, acc − rowsum; binary:
+    8×1-bit, 2·acc − rowsum; binary01: 8×1-bit, acc)."""
     if residual:
         (x_ref, p_ref, s1_ref, b1_ref, s2_ref, b2_ref, r_ref, o_ref,
          xq_ref, xs1_ref, xs2_ref, acc1_ref, acc2_ref) = refs
@@ -904,7 +907,10 @@ def _dual_w2a8_kernel(
          xq_ref, xs1_ref, xs2_ref, acc1_ref, acc2_ref) = refs
         r_ref = None
     kt = pl.program_id(2)
-    k1_cols = 4 * s1
+    planes = _num_planes(mode)
+    bits = 2 if mode == "ternary" else 1
+    lane_mask = 0x03030303 if bits == 2 else 0x01010101
+    k1_cols = planes * s1
 
     @pl.when(kt == 0)
     def _():
@@ -914,16 +920,16 @@ def _dual_w2a8_kernel(
         acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
     w32 = pltpu.bitcast(p_ref[:], jnp.int32)  # (bs/4, bn): 4 packed bytes/lane
-    k1 = 4 * s1
+    k1 = planes * s1
     s0 = kt * bs
     in_a = s0 < s1
 
     @pl.when(in_a)
     def _():
         acc = acc1_ref[:]
-        for t in range(4):
-            sh = w32 >> (2 * t) if t else w32
-            c8 = pltpu.bitcast(sh & 0x03030303, jnp.int8)
+        for t in range(planes):
+            sh = w32 >> (bits * t) if t else w32
+            c8 = pltpu.bitcast(sh & lane_mask, jnp.int8)
             xs = xq_ref[:, pl.ds(t * s1 + s0, bs)]
             acc = acc + jax.lax.dot_general(
                 xs, c8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -933,9 +939,9 @@ def _dual_w2a8_kernel(
     @pl.when(jnp.logical_not(in_a))
     def _():
         acc = acc2_ref[:]
-        for t in range(4):
-            sh = w32 >> (2 * t) if t else w32
-            c8 = pltpu.bitcast(sh & 0x03030303, jnp.int8)
+        for t in range(planes):
+            sh = w32 >> (bits * t) if t else w32
+            c8 = pltpu.bitcast(sh & lane_mask, jnp.int8)
             xs = xq_ref[:, pl.ds(k1 + t * s2 + (s0 - s1), bs)]
             acc = acc + jax.lax.dot_general(
                 xs, c8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -944,11 +950,20 @@ def _dual_w2a8_kernel(
 
     @pl.when(kt == n_kt - 1)
     def _():
-        xi = xq_ref[:].astype(jnp.int32)
-        rs1 = jnp.sum(xi[:, :k1], axis=1, keepdims=True)
-        rs2 = jnp.sum(xi[:, k1:], axis=1, keepdims=True)
-        y1 = (acc1_ref[:] - rs1).astype(jnp.float32) * xs1_ref[:] * s1_ref[:] + b1_ref[:]
-        y2 = (acc2_ref[:] - rs2).astype(jnp.float32) * xs2_ref[:] * s2_ref[:] + b2_ref[:]
+        acc1 = acc1_ref[:]
+        acc2 = acc2_ref[:]
+        if mode != "binary01":
+            xi = xq_ref[:].astype(jnp.int32)
+            rs1 = jnp.sum(xi[:, :k1], axis=1, keepdims=True)
+            rs2 = jnp.sum(xi[:, k1:], axis=1, keepdims=True)
+            if mode == "binary":
+                acc1 = 2 * acc1 - rs1
+                acc2 = 2 * acc2 - rs2
+            else:
+                acc1 = acc1 - rs1
+                acc2 = acc2 - rs2
+        y1 = acc1.astype(jnp.float32) * xs1_ref[:] * s1_ref[:] + b1_ref[:]
+        y2 = acc2.astype(jnp.float32) * xs2_ref[:] * s2_ref[:] + b2_ref[:]
         if clip_val is not None:
             y1 = jnp.clip(y1, -abs(clip_val), abs(clip_val))
             y2 = jnp.clip(y2, -abs(clip_val), abs(clip_val))
@@ -960,11 +975,11 @@ def _dual_w2a8_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s1", "clip_val", "out_dtype", "bm", "bn", "bs"),
+    static_argnames=("s1", "clip_val", "out_dtype", "bm", "bn", "bs", "mode"),
 )
 def _dual_w2a8_pallas(
     x, packed, scale1, bias1, scale2, bias2, res=None,
-    *, s1, clip_val, out_dtype, bm, bn, bs,
+    *, s1, clip_val, out_dtype, bm, bn, bs, mode="ternary",
 ):
     m, ktot = x.shape
     s_tot, n = packed.shape
@@ -972,7 +987,7 @@ def _dual_w2a8_pallas(
     n_kt = s_tot // bs
     kernel = functools.partial(
         _dual_w2a8_kernel, s1=s1, s2=s2, bs=bs, n_kt=n_kt, clip_val=clip_val,
-        residual=res is not None,
+        residual=res is not None, mode=mode,
     )
     in_specs = [
         pl.BlockSpec((bm, ktot), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
@@ -1007,10 +1022,15 @@ def _dual_w2a8_pallas(
     )(*operands)
 
 
-def _dual_w2a8_xla(xq, xs1, xs2, packed, sc1, b1, sc2, b2, *, s1, k1, k2, clip_val, out_dtype):
+def _dual_w2a8_xla(xq, xs1, xs2, packed, sc1, b1, sc2, b2, *, s1, k1, k2, clip_val, out_dtype, mode="ternary"):
     """Bit-exact XLA fallback for the dual w2a8 kernel."""
-    w1 = unpack_ternary(packed[:s1], k1, dtype=jnp.int8)
-    w2 = unpack_ternary(packed[s1:], k2, dtype=jnp.int8)
+    if mode == "ternary":
+        w1 = unpack_ternary(packed[:s1], k1, dtype=jnp.int8)
+        w2 = unpack_ternary(packed[s1:], k2, dtype=jnp.int8)
+    else:
+        zo = mode == "binary01"
+        w1 = unpack_binary(packed[:s1], k1, zero_one=zo, dtype=jnp.int8)
+        w2 = unpack_binary(packed[s1:], k2, zero_one=zo, dtype=jnp.int8)
     a1 = jax.lax.dot_general(
         xq[:, :k1], w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -1038,25 +1058,33 @@ def dual_ternary_matmul(
     impl: str = "auto",
     a8: bool = False,
     residual=None,
+    mode: str = "ternary",
 ):
     """``clip(x1 @ W1 * s1 + b1) + clip(x2 @ W2 * s2 + b2) [+ residual]``.
 
-    ``packed_stacked``: ``vstack(pack_ternary(W1), pack_ternary(W2))`` — each
-    weight packed separately (block-planar, same rule as sharded packing).
-    ``s1``: packed-row count of the first block (= K1/4).
+    ``packed_stacked``: ``vstack(pack(W1), pack(W2))`` — each weight packed
+    separately (block-planar, same rule as sharded packing) with the
+    ``mode``'s packer (``pack_ternary`` / ``pack_binary``).
+    ``s1``: packed-row count of the first block (= K1/4 ternary, K1/8 binary).
     ``a8``: quantize each source to int8 (separate per-row scales) and use
-    the int8-MXU dual kernel.
+    the int8-MXU dual kernel.  Binary modes require ``a8`` on the kernel
+    path (the bf16-activation dual kernel is ternary-only).
     ``residual``: optional ``(..., N)`` tensor added to the output — fused
     into the kernel epilogue on the a8 Pallas path (the parallel block's
     skip connection), plain add elsewhere.
     """
+    if mode not in _MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    planes = _num_planes(mode)
     lead = x1.shape[:-1]
     k1, k2 = x1.shape[-1], x2.shape[-1]
     m = math.prod(lead) if lead else 1
     s_tot, n = packed_stacked.shape
     s2 = s_tot - s1
-    if 4 * s1 != k1 or 4 * s2 != k2:
+    if planes * s1 != k1 or planes * s2 != k2:
         raise ValueError(f"packed rows ({s1},{s2}) inconsistent with K dims ({k1},{k2})")
+    if mode != "ternary" and not a8:
+        raise NotImplementedError("binary dual fusion is wired for the a8 kernel only")
 
     dt = x1.dtype
     sc1 = scale1.reshape(1, n).astype(jnp.float32)
@@ -1081,6 +1109,7 @@ def dual_ternary_matmul(
             out = _dual_w2a8_pallas(
                 x, packed_stacked, sc1, b1, sc2, b2, res2,
                 s1=s1, clip_val=clip_val, out_dtype=dt, bm=bm, bn=bn, bs=bs,
+                mode=mode,
             )
         else:
             xq1, xs1 = quantize_activations(x1.reshape(m, k1))
@@ -1088,7 +1117,7 @@ def dual_ternary_matmul(
             xq = jnp.concatenate([xq1, xq2], axis=1)
             out = _dual_w2a8_xla(
                 xq, xs1, xs2, packed_stacked, sc1, b1, sc2, b2,
-                s1=s1, k1=k1, k2=k2, clip_val=clip_val, out_dtype=dt,
+                s1=s1, k1=k1, k2=k2, clip_val=clip_val, out_dtype=dt, mode=mode,
             )
             if res2 is not None:
                 out = out + res2.astype(dt)

@@ -198,17 +198,26 @@ def fuse_packed_decoder_params(params, specs):
       dual-accumulator kernel (their outputs are summed by the parallel
       residual block anyway, reference ``layers.py:347``).
 
-    Layers that aren't uniformly packed/ternary/q2 pass through unchanged.
+    Layers that aren't uniformly packed/q2 with one mode pass through
+    unchanged.  Binary modes fuse on the a8 (w1a8) kernels only — the
+    bf16-activation dual kernel is ternary-specific.
     Numerics are exact (per-matrix scale/bias/clip preserved)."""
     new_layers, new_specs = [], []
     for layer, spec in zip(params["layers"], specs):
-        fusable = all(
-            name in spec
-            and spec[name].kind == "packed"
-            and spec[name].mode == "ternary"
-            and spec[name].fmt == "q2"
-            for name in QUANT_LINEARS
-        ) and len({spec[n].clip_val for n in QUANT_LINEARS}) == 1
+        fusable = (
+            all(
+                name in spec
+                and spec[name].kind == "packed"
+                and spec[name].fmt == "q2"
+                for name in QUANT_LINEARS
+            )
+            and len({spec[n].clip_val for n in QUANT_LINEARS}) == 1
+            and len({spec[n].mode for n in QUANT_LINEARS}) == 1
+            and (
+                spec[QUANT_LINEARS[0]].mode == "ternary"
+                or all(spec[n].a8 for n in QUANT_LINEARS)
+            )
+        )
         if not fusable:
             new_layers.append(layer)
             new_specs.append(spec)
@@ -234,7 +243,9 @@ def fuse_packed_decoder_params(params, specs):
             }
         )
         a8_all = all(spec[n].a8 for n in QUANT_LINEARS)
-        fused_spec = LinearSpec(kind="packed", mode="ternary", clip_val=clip, a8=a8_all)
+        fused_spec = LinearSpec(
+            kind="packed", mode=spec[QUANT_LINEARS[0]].mode, clip_val=clip, a8=a8_all
+        )
         new_specs.append({"in_proj": fused_spec, "out2": fused_spec})
     out = dict(params)
     out["layers"] = new_layers
