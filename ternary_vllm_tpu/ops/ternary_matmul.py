@@ -164,16 +164,20 @@ def _pick_block(dim: int, candidates) -> Optional[int]:
 def _pick_w2a8_blocks(
     bm: int, kp: int, s: int, n: int, *, n_acc: int = 1, x_itemsize: int = 2
 ):
-    """(bs, bn) for the w2a8 kernels, sized to fit scoped VMEM.
+    """(bm, bs, bn) for the w2a8 kernels, sized to fit scoped VMEM.
 
     Prefers the widest bn (fewer grid steps, full-line HBM streams for the
     packed weight) subject to a conservative VMEM budget: double-buffered
     x/weight/out blocks + int8-xq and int32-accumulator scratch (``n_acc``
     accumulators for the dual kernel) must fit well under the ~16 MB scoped
     limit — at decode bm=1 this still picks bn=n, while prefill (bm up to
-    128) backs off."""
+    128) backs off.  ``bm`` is halved (min 16) when the x block alone busts
+    the budget — large-K fused layers (e.g. the 7B dual's K1+K2=20480) OOM'd
+    scoped VMEM at prefill shapes otherwise."""
     budget = 10 * 1024 * 1024
     # x double-buffered + int8 xq scratch (in-kernel quantization)
+    while bm > 16 and bm * kp * (2 * x_itemsize + 1) > budget // 2:
+        bm //= 2
     x_bytes = bm * kp * (2 * x_itemsize + 1)
     for cand_n in (n, 4096, 2048, 1024, 512, 256, 128):
         if cand_n > n or n % cand_n:
@@ -185,8 +189,8 @@ def _pick_w2a8_blocks(
             # 5x the packed block: 2 DMA buffers + Mosaic stack temporaries
             # for the unpack (w32 / shifted / i8-codes planes), each ~bs*bn
             if x_bytes + out_bytes + 5 * cand_s * cand_n <= budget:
-                return cand_s, cand_n
-    return _pick_block(s, (512, 256, 128)), 128
+                return bm, cand_s, cand_n
+    return bm, _pick_block(s, (512, 256, 128)), 128
 
 
 @functools.partial(
@@ -741,8 +745,9 @@ def int4_matmul(x, packed, scale, bias=None, impl: str = "auto", ln=None, ln_eps
     )
     aligned = (n % 128 == 0) and (s % 128 == 0)
     if impl != "xla" and aligned and _on_tpu():
-        bm = min(m, 128)
-        bs_, bn_ = _pick_w2a8_blocks(bm, kp, s, n, x_itemsize=x2.dtype.itemsize)
+        bm, bs_, bn_ = _pick_w2a8_blocks(
+            min(m, 128), kp, s, n, x_itemsize=x2.dtype.itemsize
+        )
         lns = lnb = None
         if ln is not None:
             lns = ln[0].reshape(1, k).astype(jnp.float32)
@@ -1099,11 +1104,10 @@ def dual_ternary_matmul(
     if a8:
         if impl != "xla" and aligned and _on_tpu():
             x = jnp.concatenate([x1.reshape(m, k1), x2.reshape(m, k2)], axis=1)
-            bm = min(m, 128)
             # bs must divide BOTH packed blocks -> pick from the gcd; two
             # int32 accumulators live in scratch (n_acc=2)
-            bs, bn = _pick_w2a8_blocks(
-                bm, k1 + k2, math.gcd(s1, s2), n, n_acc=2,
+            bm, bs, bn = _pick_w2a8_blocks(
+                min(m, 128), k1 + k2, math.gcd(s1, s2), n, n_acc=2,
                 x_itemsize=x.dtype.itemsize,
             )
             out = _dual_w2a8_pallas(
@@ -1231,9 +1235,8 @@ def quantized_matmul(
     if a8:
         aligned = (n % 128 == 0) and (s % 128 == 0)
         if impl != "xla" and aligned and _on_tpu():
-            bm = min(m, 128)
-            bs_, bn_ = _pick_w2a8_blocks(
-                bm, kp, s, n, x_itemsize=x2.dtype.itemsize
+            bm, bs_, bn_ = _pick_w2a8_blocks(
+                min(m, 128), kp, s, n, x_itemsize=x2.dtype.itemsize
             )
             lns = lnb = None
             if ln is not None:

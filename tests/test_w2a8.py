@@ -272,16 +272,22 @@ def test_w2a8_block_picker_respects_vmem():
         return bm * kp * 5 + bm * bn * (4 + 4 * n_acc) + 5 * bs * bn
 
     # decode: bm=1 keeps the full-width streaming layout
-    bs, bn = _pick_w2a8_blocks(1, 2048, 512, 14336)
-    assert bn == 14336 and 512 % bs == 0
+    bm, bs, bn = _pick_w2a8_blocks(1, 2048, 512, 14336)
+    assert bm == 1 and bn == 14336 and 512 % bs == 0
     # prefill: bm=64 must back off below the scoped limit
-    bs, bn = _pick_w2a8_blocks(64, 2048, 512, 14336)
-    assert vmem(64, 2048, bs, bn) <= 10 * 1024 * 1024
+    bm, bs, bn = _pick_w2a8_blocks(64, 2048, 512, 14336)
+    assert vmem(bm, 2048, bs, bn) <= 10 * 1024 * 1024
     assert 14336 % bn == 0 and 512 % bs == 0
     # dual kernel (two accumulators) at prefill
-    bs, bn = _pick_w2a8_blocks(128, 10240, 512, 2048, n_acc=2)
-    assert vmem(128, 10240, bs, bn, n_acc=2) <= 10 * 1024 * 1024
+    bm, bs, bn = _pick_w2a8_blocks(128, 10240, 512, 2048, n_acc=2)
+    assert vmem(bm, 10240, bs, bn, n_acc=2) <= 10 * 1024 * 1024
     assert 2048 % bn == 0 and 512 % bs == 0
+    # very large fused K (7B dual: K1+K2 = 20480): the x block alone would
+    # bust scoped VMEM at bm=128 -> bm shrinks instead of OOMing at compile
+    bm, bs, bn = _pick_w2a8_blocks(128, 20480, 256, 4096, n_acc=2)
+    assert bm < 128
+    assert bm * 20480 * 5 <= 5 * 1024 * 1024
+    assert vmem(bm, 20480, bs, bn, n_acc=2) <= 10 * 1024 * 1024
 
 
 def test_compare_quantization_a8_gate():
