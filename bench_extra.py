@@ -781,15 +781,12 @@ def main():
             print(json.dumps(rec), flush=True)
         except Exception as e:  # noqa: BLE001 — record and continue
             log(f"{name}: FAILED {e}")
-    if not only and results:
-        with open("BENCHMARKS.md", "w") as f:
-            f.write("# Extra benchmark results (TPU v5e, 1 chip)\n\n")
-            f.write("| config | metric | value | unit | vs_baseline | note |\n|---|---|---|---|---|---|\n")
+    # append machine-readable results; BENCHMARKS.md is hand-curated (it
+    # carries analysis sections a regenerated table would destroy)
+    if results:
+        with open("BENCHMARKS_extra.jsonl", "a") as f:
             for r in results:
-                f.write(
-                    f"| {r['config']} | {r['metric']} | {r['value']} | {r['unit']} | "
-                    f"{r.get('vs_baseline')} | {r.get('note','')} |\n"
-                )
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":
