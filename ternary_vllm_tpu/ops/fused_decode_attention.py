@@ -59,8 +59,8 @@ def _fused_kernel(
 
     @pl.when(c == 0)
     def _():
-        cos = cos_ref[:].astype(jnp.float32)  # (1, rd)
-        sin = sin_ref[:].astype(jnp.float32)
+        cos = cos_ref[0].astype(jnp.float32)  # (1, rd)
+        sin = sin_ref[0].astype(jnp.float32)
         qs_ref[:] = _rope_2d(q_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
         ks_ref[:] = _rope_2d(kn_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
@@ -156,8 +156,8 @@ def _fused_pallas(q, k_new, v_new, cos, sin, k_cache, v_cache, pos, *,
             pl.BlockSpec((1, h, hd), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rotary_dim), lambda bi, c, pos: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rotary_dim), lambda bi, c, pos: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
         ],
@@ -193,7 +193,7 @@ def _fused_pallas(q, k_new, v_new, cos, sin, k_cache, v_cache, pos, *,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(pos_vec, q, k_new, v_new, cos, sin, k_cache, v_cache)
+    )(pos_vec, q, k_new, v_new, cos[:, None, :], sin[:, None, :], k_cache, v_cache)
 
 
 def _fused_xla(q, k_new, v_new, cos, sin, k_cache, v_cache, pos, rotary_dim):
@@ -247,8 +247,8 @@ def _fused_kernel_i8(
 
     @pl.when(c == 0)
     def _():
-        cos = cos_ref[:].astype(jnp.float32)
-        sin = sin_ref[:].astype(jnp.float32)
+        cos = cos_ref[0].astype(jnp.float32)
+        sin = sin_ref[0].astype(jnp.float32)
         qs_ref[:] = _rope_2d(q_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
         k_rot = _rope_2d(kn_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
         # in-kernel absmax int8 quantization of the new K/V rows — codes and
@@ -359,8 +359,8 @@ def _fused_pallas_i8(q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos, *,
             pl.BlockSpec((1, h, hd), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rotary_dim), lambda bi, c, pos: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rotary_dim), lambda bi, c, pos: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, 1, chunk), scale_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kvh, chunk, hd), kv_map, memory_space=pltpu.VMEM),
@@ -405,7 +405,7 @@ def _fused_pallas_i8(q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos, *,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(pos_vec, q, k_new, v_new, cos, sin, kq, ks, vq, vs)
+    )(pos_vec, q, k_new, v_new, cos[:, None, :], sin[:, None, :], kq, ks, vq, vs)
 
 
 def _fused_xla_i8(q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos, rotary_dim):
