@@ -42,7 +42,8 @@ def corpus_token_batches(
     ``seq_len`` tokens (causal LM: labels = input_ids, HF shift semantics),
     grouped ``batch_size`` windows per batch.  ``max_tokens`` truncates the
     stream first."""
-    if source.endswith((".npy", ".npz")):
+    pre_tokenized = source.endswith((".npy", ".npz"))
+    if pre_tokenized:
         arr = np.load(source)
         if hasattr(arr, "files"):  # npz: first array
             arr = arr[arr.files[0]]
@@ -60,9 +61,12 @@ def corpus_token_batches(
     if max_tokens is not None:
         ids = ids[:max_tokens]
     if vocab_size is not None:
-        if tokenizer is None:
+        if tokenizer is None and not pre_tokenized:
             ids = ids % vocab_size  # byte fallback is always < 256 anyway
         elif int(ids.max(initial=0)) >= vocab_size:
+            # pre-tokenized arrays and tokenizer output must already be
+            # in-vocab — silently wrapping out-of-vocab ids (mismatched
+            # tokenizer/corpus) would quietly skew the accuracy gate
             raise ValueError(
                 f"corpus token id {int(ids.max())} >= model vocab {vocab_size}"
             )

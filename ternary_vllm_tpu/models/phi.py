@@ -539,6 +539,11 @@ def _decoder_layer(
     else:
         k_full = _repeat_kv(k_full, h // kvh)
         v_full = _repeat_kv(v_full, h // kvh)
+        if mask is None and kv is not None:
+            # cached-path fallback (unreachable under the current dispatch —
+            # every cached shape routes to a kernel above — but kept correct
+            # for future dispatch changes): build the mask on demand
+            mask = _causal_mask_cached(t, k_full.shape[2], pos, x.dtype)
         attn = _attention(q, k_full, v_full, mask)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
     if fused:
@@ -667,12 +672,17 @@ def forward(
     x = inputs_embeds
 
     if cache is not None:
-        cache_len = cache[0][0].shape[2]
         if _is_vector_pos(pos):
             positions = pos[:, None] + jnp.arange(t)[None, :]  # (B, T)
         else:
             positions = pos + jnp.arange(t)
-        mask = _causal_mask_cached(t, cache_len, pos, x.dtype)
+        # the cached-path mask (B,1,T,cache_len) is consumed only by the
+        # dense _attention fallback, which every cached dispatch (fused
+        # decode / decode / prefill / chunk-prefill kernels) bypasses —
+        # build it lazily in _decoder_layer instead of materializing a
+        # multi-hundred-MB f32 tensor here and relying on XLA DCE (round-3
+        # advisor: eager/debug execution paid it for real)
+        mask = None
     else:
         positions = jnp.arange(t)
         mask = _causal_mask_full(t, attn_mask, x.dtype)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import logging
 import time
 from collections import deque
 from functools import partial
@@ -28,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ternary_vllm_tpu.models import phi
+
+_logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -440,7 +443,14 @@ class Engine:
             # == 0 or they silently fall back to full-capacity XLA attention
             # (measured 4-8x decode slowdown at long context) — round UP: a
             # little spare capacity is free, the fallback is not
-            max_len = -(-max_len // 256) * 256
+            rounded = -(-max_len // 256) * 256
+            _logger.info(
+                "Engine: max_len %d rounded up to %d (fused attention kernels "
+                "need capacity %% 256 == 0); KV cache HBM and the "
+                "cache_dtype='auto' policy use the rounded value",
+                max_len, rounded,
+            )
+            max_len = rounded
         self.max_len = max_len
         self.temperature = temperature
         self.burst = burst  # fused decode steps per scheduling point
@@ -576,6 +586,22 @@ class Engine:
         while off < t:
             n = min(chunk, t - off)
             b = self._bucket(n)
+            if off + b > self.max_len:
+                # The padded bucket would overrun cache capacity: phi's cache
+                # write (lax.dynamic_update_slice) silently CLAMPS the start
+                # index, overwriting the previous chunk's live KV (reachable
+                # with the default buckets whenever max_len % largest_bucket
+                # leaves a residue smaller than the chunk's bucket).  Shrink
+                # the chunk to the largest bucket that fits the remaining
+                # capacity; if no bucket fits, pad to exactly the remainder
+                # (n <= max_len - off always holds because admission checks
+                # t + 1 <= max_len).
+                fit = [bk for bk in self.buckets if off + bk <= self.max_len]
+                if fit and fit[-1] < n:
+                    n = fit[-1]
+                    b = n
+                else:
+                    b = self.max_len - off
             piece = emb_np[:, off : off + n]
             if b > n:
                 piece = np.pad(piece, ((0, 0), (0, b - n), (0, 0)))

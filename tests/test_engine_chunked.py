@@ -82,6 +82,47 @@ def test_chunked_and_bucketed_requests_coexist():
     assert [r.tokens for r in done] == solo
 
 
+def test_chunked_last_chunk_bucket_respects_capacity():
+    """Regression (round-3 advisor, high): when the LAST chunk's padded
+    bucket exceeded remaining capacity (max_len % largest_bucket leaving a
+    residue smaller than the chunk's bucket), the cache write clamped its
+    start index and overwrote the previous chunk's live KV — emitted tokens
+    silently diverged from single-shot prefill.  max_len=48 with buckets
+    (8, 32) and a 45-token prompt hits it: chunk 2 is 13 tokens, bucket 32,
+    but only 16 cache rows remain."""
+    params, specs = _setup()
+    emb = phi.embed_tokens(params, _prompt(45, seed=7))
+
+    ref = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(64,),
+                 cache_dtype="bf16")
+    ref.add_request(emb, max_new_tokens=2)
+    ref_tokens = ref.run()[0].tokens
+
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=48, buckets=(8, 32),
+                 cache_dtype="bf16")
+    eng.add_request(emb, max_new_tokens=2)
+    assert eng.run()[0].tokens == ref_tokens
+
+
+def test_chunked_no_bucket_fits_remainder():
+    """Tail case of the capacity-aware chunk picker: when no bucket at all
+    fits the remaining capacity, the chunk pads to exactly the remainder."""
+    params, specs = _setup()
+    emb = phi.embed_tokens(params, _prompt(45, seed=8))
+
+    ref = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(64,),
+                 cache_dtype="bf16")
+    ref.add_request(emb, max_new_tokens=2)
+    ref_tokens = ref.run()[0].tokens
+
+    # chunks: 32 (off 0), then rem_cap=16 but the 13-token tail's bucket is
+    # 32 and no bucket <= 16 exists -> pad to exactly 16
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=48, buckets=(32,),
+                 cache_dtype="bf16")
+    eng.add_request(emb, max_new_tokens=2)
+    assert eng.run()[0].tokens == ref_tokens
+
+
 def test_chunked_prompt_beyond_capacity_raises():
     params, specs = _setup()
     eng = Engine(params, CFG, specs, max_batch=1, max_len=32, buckets=(8,),
