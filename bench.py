@@ -176,8 +176,17 @@ def main():
         worker(sys.argv[2], int(sys.argv[3]))
         return
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    packed_tps = measure("packed", batch)
-    dense_tps = measure("dense", batch)
+    # median of 3 independent subprocess runs (each itself best-of-3 in-loop):
+    # round 1-3 headline drift (1017 -> 1032 -> 1005 t/s) was within the
+    # transport's run-to-run noise, but a single-run headline cannot show
+    # that — record the median and the spread so drift > noise is a real
+    # regression signal (round-3 VERDICT weak #3)
+    packed_runs = sorted(measure("packed", batch) for _ in range(3))
+    dense_runs = sorted(measure("dense", batch) for _ in range(3))
+    packed_tps, dense_tps = packed_runs[1], dense_runs[1]
+    spread_pct = 100.0 * (packed_runs[-1] - packed_runs[0]) / packed_tps
+    log(f"[main] packed runs {['%.1f' % r for r in packed_runs]} "
+        f"(spread {spread_pct:.1f}%), dense runs {['%.1f' % r for r in dense_runs]}")
     print(
         json.dumps(
             {
@@ -185,6 +194,8 @@ def main():
                 "value": round(packed_tps, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(packed_tps / dense_tps, 3),
+                "runs": [round(r, 1) for r in packed_runs],
+                "spread_pct": round(spread_pct, 2),
             }
         ),
         flush=True,

@@ -120,8 +120,11 @@ def worker(cache_dtype: str, prompt_len: int, max_len: int) -> None:
     jax.block_until_ready(emb)
 
     def run():
+        # speculative=0: this bench measures raw decode streaming; the
+        # engine's default adaptive speculation would inflate t/s via
+        # n-gram hits on the random-weight model's repetitive output
         eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
-                     burst=BURST, cache_dtype=cache_dtype)
+                     burst=BURST, cache_dtype=cache_dtype, speculative=0)
         t0 = time.perf_counter()
         eng.add_request(emb, max_new_tokens=1 + DECODE_STEPS)
         eng._admit()

@@ -190,7 +190,8 @@ def init_phi_params(key, config: PhiConfig, dtype=jnp.float32) -> Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               layout: str = "rowmajor"):
     """Preallocated KV cache: list of per-layer (k, v), each
     ``(batch, kv_heads, max_len, head_dim)``.  Position threading is explicit
     (the ``pos`` argument of :func:`forward`); the reference's growing
@@ -203,8 +204,21 @@ def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     LANE-major ``(B, KVH, 1, T)`` so the attention kernels can scale the
     logits (per-position, lane dim) instead of dequantizing K, and scale
     the probabilities instead of dequantizing V — no (chunk, hd)-sized
-    dequant multiplies, and the scale reads vectorize along lanes."""
-    shape = (batch, config.num_key_value_heads, max_len, config.head_dim)
+    dequant multiplies, and the scale reads vectorize along lanes.
+
+    ``layout="tmajor"`` stores K/V (and int8 codes) TRANSPOSED,
+    ``(batch, kv_heads, head_dim, max_len)`` — for head_dim < 128 the
+    row-major layout is lane-padded to 128 inside jitted decode loops
+    (pallas forces its default layout on operands), so the decode-attention
+    kernels stream 2× the logical KV bytes; T-major removes the padding
+    (measured 176 → 97 µs/layer at 8k live, docs/DESIGN.md §6 round 4).
+    Only the single-token fused decode path supports T-major — prefill
+    (t > 1) must run on a row-major cache and convert via
+    :func:`transpose_cache`."""
+    if layout == "tmajor":
+        shape = (batch, config.num_key_value_heads, config.head_dim, max_len)
+    else:
+        shape = (batch, config.num_key_value_heads, max_len, config.head_dim)
     sshape = (batch, config.num_key_value_heads, 1, max_len)
     if dtype in ("int8", jnp.int8):
         return [
@@ -220,6 +234,32 @@ def init_cache(config: PhiConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(config.num_hidden_layers)
     ]
+
+
+def transpose_cache(cache):
+    """Row-major per-layer cache tuples → T-major (or back: the op is an
+    involution).  bf16 tuples transpose both arrays; int8 4-tuples transpose
+    only the code arrays (scales are lane-major ``(B, KVH, 1, T)`` in both
+    layouts)."""
+    out = []
+    for kv in cache:
+        if len(kv) == 2:
+            out.append(tuple(jnp.swapaxes(a, 2, 3) for a in kv))
+        else:
+            kq, ks, vq, vs = kv
+            out.append((jnp.swapaxes(kq, 2, 3), ks, jnp.swapaxes(vq, 2, 3), vs))
+    return out
+
+
+def cache_layout(kv, config: PhiConfig) -> str:
+    """Detect a per-layer cache tuple's layout from its shapes.  Row-major is
+    ``(B, KVH, T, hd)``; T-major is ``(B, KVH, hd, T)``.  Ambiguous only when
+    capacity == head_dim, which the tmajor policy never produces (it requires
+    capacity ≥ 2048 and head_dim < 128) — row-major wins the tie."""
+    s = kv[0].shape
+    if s[2] == config.head_dim and s[3] != config.head_dim:
+        return "tmajor"
+    return "rowmajor"
 
 
 def _quantize_kv(x):
@@ -407,12 +447,15 @@ def _decoder_layer(
         rd = config.rotary_dim
         cs = jnp.broadcast_to(cos.reshape(-1, rd), (b, rd))
         sn = jnp.broadcast_to(sin.reshape(-1, rd), (b, rd))
+        tmajor = cache_layout(kv, config) == "tmajor"
         if len(kv) == 4:
             from ternary_vllm_tpu.ops.fused_decode_attention import (
                 fused_decode_attention_int8,
+                fused_decode_attention_int8_tmajor,
             )
 
-            attn, *new_kv_arrays = fused_decode_attention_int8(
+            fn = fused_decode_attention_int8_tmajor if tmajor else fused_decode_attention_int8
+            attn, *new_kv_arrays = fn(
                 q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, *kv, pos,
                 rotary_dim=rd,
             )
@@ -420,9 +463,11 @@ def _decoder_layer(
         else:
             from ternary_vllm_tpu.ops.fused_decode_attention import (
                 fused_decode_attention,
+                fused_decode_attention_tmajor,
             )
 
-            attn, ck, cv = fused_decode_attention(
+            fn = fused_decode_attention_tmajor if tmajor else fused_decode_attention
+            attn, ck, cv = fn(
                 q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, kv[0], kv[1], pos,
                 rotary_dim=rd,
             )
@@ -445,6 +490,14 @@ def _decoder_layer(
         mlp = apply_linear(spec["fc1"], p["fc1"], hidden, act=config.hidden_act)
         mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
         return attn + mlp + x, new_kv
+
+    if kv is not None and cache_layout(kv, config) == "tmajor":
+        raise NotImplementedError(
+            "T-major KV caches support only the single-token fused decode "
+            "path (t == 1 under USE_FUSED_DECODE_ATTENTION); prefill / "
+            "multi-token verify windows must run on a row-major cache and "
+            "convert via phi.transpose_cache"
+        )
 
     q, k = apply_rotary(q, k, cos, sin, config.rotary_dim)
 

@@ -227,11 +227,36 @@ def _decode_attention_pallas_i8(q, kq, ks, vq, vs, pos, chunk: int = 128):
     )(pos_vec, q, kq, ks, vq, vs)
 
 
-def decode_attention_int8(q, kq, ks, vq, vs, pos, chunk: int = 128, impl: str = "auto"):
+def pick_decode_chunk(t: int, kvh: int, hd: int, itemsize: int) -> int:
+    """Auto chunk for the chunked decode-attention kernels: 256 at long
+    context, 128 otherwise.
+
+    Round-4 busy-time study (docs/DESIGN.md §6): at 8k live the chunk=128
+    kernel is bound by the per-chunk serial compute chain (QK → softmax →
+    PV, ~0.5 µs beyond the 1.41 µs/chunk DMA floor → 1.90 µs per 128
+    tokens); at chunk=256 the chain amortizes under the doubled DMA window
+    and the kernel streams at 97% of the floor (1.43 µs per 128 tokens).
+    Round 3 had measured "256 ≈ 128" on wall-clock t/s — a noise artifact
+    of the remote transport; per-op busy times settled it.
+
+    256 only when (a) capacity is long-context (≥ 2048 — short caches pay
+    extra dead-chunk bytes instead: 1005 vs 1019 t/s on the flagship
+    bench, round 2), (b) capacity divides, and (c) the two double-buffered
+    K/V streams fit the VMEM budget (blocks × 2 buffers × 2 arrays ≤ 6 MB;
+    8 MB measured OOM at compile) — the hd=128 7B stays at 128 in bf16 but
+    gets 256 with int8 codes."""
+    if t >= 2048 and t % 256 == 0 and kvh * hd * 256 * itemsize * 4 <= 6 * 1024 * 1024:
+        return 256
+    return 128
+
+
+def decode_attention_int8(q, kq, ks, vq, vs, pos, chunk: int | None = None, impl: str = "auto"):
     """Single-token attention against the int8-quantized cache
     (``phi.init_cache(..., dtype="int8")`` layout: codes (B, KVH, T, hd),
     scales lane-major (B, KVH, 1, T))."""
     t = kq.shape[2]
+    if chunk is None:
+        chunk = pick_decode_chunk(t, kq.shape[1], kq.shape[3], 1)
     shapes_ok = t % chunk == 0 and t >= chunk
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = shapes_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
@@ -261,7 +286,7 @@ def _decode_attention_xla(q, k_cache, v_cache, pos):
     return jnp.einsum("bht,bhtd->bhd", p, vf).astype(q.dtype)
 
 
-def decode_attention(q, k_cache, v_cache, pos, chunk: int = 128, impl: str = "auto"):
+def decode_attention(q, k_cache, v_cache, pos, chunk: int | None = None, impl: str = "auto"):
     """Single-token attention against a fixed-capacity cache.
 
     Args:
@@ -272,6 +297,8 @@ def decode_attention(q, k_cache, v_cache, pos, chunk: int = 128, impl: str = "au
 
     Returns (B, H, hd)."""
     t = k_cache.shape[2]
+    if chunk is None:
+        chunk = pick_decode_chunk(t, k_cache.shape[1], k_cache.shape[3], k_cache.dtype.itemsize)
     shapes_ok = t % chunk == 0 and t >= chunk
     on_tpu = jax.default_backend() == "tpu"
     # auto: pallas on TPU only (interpret mode off-TPU is for explicit tests)

@@ -452,7 +452,7 @@ def _fused_xla_i8(q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos, rotary_dim):
 
 def fused_decode_attention_int8(
     q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos,
-    *, rotary_dim: int, chunk: int = 128, impl: str = "auto",
+    *, rotary_dim: int, chunk: int | None = None, impl: str = "auto",
 ):
     """One-dispatch int8-cache decode attention step: RoPE + absmax int8
     quantization of the new K/V row + quantized cache write + flash attention
@@ -460,6 +460,10 @@ def fused_decode_attention_int8(
     4-array cache (codes (B, KVH, T, hd) int8, scales lane-major
     (B, KVH, 1, T) bf16).  Halves attention HBM traffic vs the bf16 cache."""
     t = kq.shape[2]
+    if chunk is None:
+        from ternary_vllm_tpu.ops.decode_attention import pick_decode_chunk
+
+        chunk = pick_decode_chunk(t, kq.shape[1], kq.shape[3], 1)
     shapes_ok = (
         t % chunk == 0 and t >= chunk and chunk % 32 == 0
         and rotary_dim % 2 == 0 and q.shape[2] >= rotary_dim
@@ -476,7 +480,7 @@ def fused_decode_attention_int8(
 
 def fused_decode_attention(
     q, k_new, v_new, cos, sin, k_cache, v_cache, pos,
-    *, rotary_dim: int, chunk: int = 128, impl: str = "auto",
+    *, rotary_dim: int, chunk: int | None = None, impl: str = "auto",
 ):
     """One-dispatch decode attention step.
 
@@ -491,6 +495,10 @@ def fused_decode_attention(
     Returns ``(attn (B, H, hd), k_cache', v_cache')`` with the new K/V
     written at ``pos`` (caches are donated/aliased on TPU)."""
     t = k_cache.shape[2]
+    if chunk is None:
+        from ternary_vllm_tpu.ops.decode_attention import pick_decode_chunk
+
+        chunk = pick_decode_chunk(t, k_cache.shape[1], k_cache.shape[3], k_cache.dtype.itemsize)
     shapes_ok = (
         t % chunk == 0 and t >= chunk
         and rotary_dim % 2 == 0 and q.shape[2] >= rotary_dim
@@ -501,5 +509,366 @@ def fused_decode_attention(
         return _fused_xla(q, k_new, v_new, cos, sin, k_cache, v_cache, pos, rotary_dim)
     return _fused_pallas(
         q, k_new, v_new, cos, sin, k_cache, v_cache, jnp.asarray(pos),
+        rotary_dim=rotary_dim, chunk=chunk, interpret=not on_tpu,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T-major cache layout (B, KVH, hd, T): decode kernels without the lane-pad
+# tax.  The row-major (B, KVH, T, hd) cache with hd < 128 is lane-padded to
+# 128 inside the decode loop (pallas forces the default row-major layout on
+# its operands), so the kernels stream 2x the logical KV bytes — measured
+# only in the realistic multi-cache regime (single-buffer microbenches read
+# anomalously fast; docs/DESIGN.md §6 round 4).  With T minor there is no
+# padding: 24-layer round-robin busy time drops 176 -> 97 µs/call at 8k
+# (chunk 256).  The cache write flushes the whole resident chunk block once
+# (lane-select of the new column) instead of an 8-row window.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel_tm(
+    pos_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref, kc_ref, vc_ref,
+    o_ref, ko_ref, vo_ref, m_ref, l_ref, acc_ref, qs_ref, ks_ref,
+    *, chunk, groups, scale, rotary_dim,
+):
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    pos = pos_ref[bi]
+    last = pos // chunk
+
+    @pl.when(c == 0)
+    def _():
+        cos = cos_ref[0].astype(jnp.float32)
+        sin = sin_ref[0].astype(jnp.float32)
+        qs_ref[:] = _rope_2d(q_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
+        ks_ref[:] = _rope_2d(kn_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        h, hd = q_ref.shape[1], q_ref.shape[2]
+        kvh = kc_ref.shape[1]
+        qf = qs_ref[:].reshape(kvh, groups, hd)
+        kT = kc_ref[0].astype(jnp.float32)  # (kvh, hd, chunk)
+        logits = jax.lax.dot_general(
+            qf, kT, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        logits = logits.reshape(h, chunk)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
+        logits = jnp.where(idx < pos, logits, NEG_INF)
+
+        is_last = c == last
+        lnew = jnp.sum(qf * ks_ref[:][:, None, :], axis=2).reshape(h, 1) * scale
+        lnew = jnp.where(is_last, lnew, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(
+            m_prev, jnp.maximum(jnp.max(logits, axis=1, keepdims=True), lnew)
+        )
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        p_new = jnp.exp(lnew - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True) + p_new
+        vT = vc_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p.reshape(kvh, groups, chunk), vT, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, hd)
+        vn = vn_ref[0].astype(jnp.float32)
+        vn_h = jnp.broadcast_to(vn[:, None, :], (kvh, groups, hd)).reshape(h, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv + p_new * vn_h
+        m_ref[:] = m_new
+
+        # cache write: lane-select the new token's column into the resident
+        # chunk and flush the whole block ONCE (output index map constant
+        # over c); slot pos is one LANE of the last live chunk
+        @pl.when(is_last)
+        def _():
+            lanesel = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) == (pos - last * chunk)
+            ko_ref[0] = jnp.where(lanesel[None], ks_ref[:][:, :, None], kT).astype(ko_ref.dtype)
+            vo_ref[0] = jnp.where(lanesel[None], vn[:, :, None], vT).astype(vo_ref.dtype)
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rotary_dim", "chunk", "interpret"))
+def _fused_pallas_tm(q, k_new, v_new, cos, sin, k_cache, v_cache, pos, *,
+                     rotary_dim, chunk, interpret=False):
+    b, h, hd = q.shape
+    _, kvh, _, t = k_cache.shape
+    groups = h // kvh
+    n_chunks = t // chunk
+    scale = 1.0 / math.sqrt(hd)
+
+    def kv_map(bi, c, pos):
+        return (bi, 0, 0, jnp.minimum(c, pos[bi] // chunk))
+
+    def out_kv_map(bi, c, pos):
+        return (bi, 0, 0, pos[bi] // chunk)
+
+    def row_map(bi, c, pos):
+        return (bi, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, h, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), kv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), out_kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), out_kv_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, hd), jnp.float32),
+            pltpu.VMEM((h, hd), jnp.float32),
+            pltpu.VMEM((kvh, hd), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fused_kernel_tm, chunk=chunk, groups=groups, scale=scale, rotary_dim=rotary_dim
+    )
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos_vec, q, k_new, v_new, cos[:, None, :], sin[:, None, :], k_cache, v_cache)
+
+
+def fused_decode_attention_tmajor(
+    q, k_new, v_new, cos, sin, k_cache, v_cache, pos,
+    *, rotary_dim: int, chunk: int | None = None, impl: str = "auto",
+):
+    """One-dispatch decode attention step on T-major caches
+    ``(B, KVH, hd, T)`` — same contract as :func:`fused_decode_attention`
+    with the transposed cache layout (returned caches are T-major too)."""
+    t = k_cache.shape[3]
+    if chunk is None:
+        from ternary_vllm_tpu.ops.decode_attention import pick_decode_chunk
+
+        chunk = pick_decode_chunk(t, k_cache.shape[1], k_cache.shape[2], k_cache.dtype.itemsize)
+    shapes_ok = (
+        t % chunk == 0 and t >= chunk
+        and rotary_dim % 2 == 0 and q.shape[2] >= rotary_dim
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = shapes_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if not use_pallas:
+        attn, kc, vc = _fused_xla(
+            q, k_new, v_new, cos, sin,
+            jnp.swapaxes(k_cache, 2, 3), jnp.swapaxes(v_cache, 2, 3), pos, rotary_dim,
+        )
+        return attn, jnp.swapaxes(kc, 2, 3), jnp.swapaxes(vc, 2, 3)
+    return _fused_pallas_tm(
+        q, k_new, v_new, cos, sin, k_cache, v_cache, jnp.asarray(pos),
+        rotary_dim=rotary_dim, chunk=chunk, interpret=not on_tpu,
+    )
+
+
+def _fused_kernel_i8_tm(
+    pos_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
+    kq_ref, ks_ref, vq_ref, vs_ref,
+    o_ref, kqo_ref, kso_ref, vqo_ref, vso_ref,
+    m_ref, l_ref, acc_ref, qs_ref, kc_ref, vc_ref, sk_ref, sv_ref,
+    *, chunk, groups, scale, rotary_dim,
+):
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    pos = pos_ref[bi]
+    last = pos // chunk
+
+    @pl.when(c == 0)
+    def _():
+        cos = cos_ref[0].astype(jnp.float32)
+        sin = sin_ref[0].astype(jnp.float32)
+        qs_ref[:] = _rope_2d(q_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
+        k_rot = _rope_2d(kn_ref[0].astype(jnp.float32), cos, sin, rotary_dim)
+        sk = jnp.maximum(jnp.max(jnp.abs(k_rot), axis=1, keepdims=True), 1e-6) / 127.0
+        kc = jnp.clip(jnp.round(k_rot / sk), -127, 127)
+        sk_ref[:] = sk.astype(jnp.bfloat16).astype(jnp.float32)
+        kc_ref[:] = kc
+        vn = vn_ref[0].astype(jnp.float32)
+        sv = jnp.maximum(jnp.max(jnp.abs(vn), axis=1, keepdims=True), 1e-6) / 127.0
+        vc = jnp.clip(jnp.round(vn / sv), -127, 127)
+        sv_ref[:] = sv.astype(jnp.bfloat16).astype(jnp.float32)
+        vc_ref[:] = vc
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        h, hd = q_ref.shape[1], q_ref.shape[2]
+        kvh = kq_ref.shape[1]
+        qf = qs_ref[:].reshape(kvh, groups, hd)
+        k = kq_ref[0].astype(jnp.float32)  # raw codes (kvh, hd, chunk)
+        logits = jax.lax.dot_general(
+            qf, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        logits = logits * ks_ref[0].astype(jnp.float32) * scale  # (kvh, g, chunk)
+        logits = logits.reshape(h, chunk)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
+        logits = jnp.where(idx < pos, logits, NEG_INF)
+
+        is_last = c == last
+        kdq = kc_ref[:] * sk_ref[:]
+        lnew = jnp.sum(qf * kdq[:, None, :], axis=2).reshape(h, 1) * scale
+        lnew = jnp.where(is_last, lnew, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(
+            m_prev, jnp.maximum(jnp.max(logits, axis=1, keepdims=True), lnew)
+        )
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        p_new = jnp.exp(lnew - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True) + p_new
+        ps = p.reshape(kvh, groups, chunk) * vs_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            ps, vq_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, hd)
+        vdq = vc_ref[:] * sv_ref[:]
+        vdq_h = jnp.broadcast_to(vdq[:, None, :], (kvh, groups, hd)).reshape(h, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv + p_new * vdq_h
+        m_ref[:] = m_new
+
+        @pl.when(is_last)
+        def _():
+            lanesel = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) == (pos - last * chunk)
+            kqo_ref[0] = jnp.where(lanesel[None], kc_ref[:][:, :, None], k).astype(jnp.int8)
+            vqo_ref[0] = jnp.where(lanesel[None], vc_ref[:][:, :, None], vq_ref[0].astype(jnp.float32)).astype(jnp.int8)
+            kso_ref[0] = jnp.where(lanesel[None], sk_ref[:][:, :, None], ks_ref[0].astype(jnp.float32)).astype(kso_ref.dtype)
+            vso_ref[0] = jnp.where(lanesel[None], sv_ref[:][:, :, None], vs_ref[0].astype(jnp.float32)).astype(vso_ref.dtype)
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rotary_dim", "chunk", "interpret"))
+def _fused_pallas_i8_tm(q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos, *,
+                        rotary_dim, chunk, interpret=False):
+    b, h, hd = q.shape
+    _, kvh, _, t = kq.shape
+    groups = h // kvh
+    n_chunks = t // chunk
+    scale = 1.0 / math.sqrt(hd)
+
+    def kv_map(bi, c, pos):
+        return (bi, 0, 0, jnp.minimum(c, pos[bi] // chunk))
+
+    def scale_map(bi, c, pos):
+        return (bi, 0, 0, jnp.minimum(c, pos[bi] // chunk))
+
+    def out_kv_map(bi, c, pos):
+        return (bi, 0, 0, pos[bi] // chunk)
+
+    def row_map(bi, c, pos):
+        return (bi, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, h, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rotary_dim), lambda bi, c, pos: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, chunk), scale_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, chunk), scale_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, hd), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), out_kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, chunk), out_kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, hd, chunk), out_kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, chunk), out_kv_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, hd), jnp.float32),
+            pltpu.VMEM((h, hd), jnp.float32),
+            pltpu.VMEM((kvh, hd), jnp.float32),
+            pltpu.VMEM((kvh, hd), jnp.float32),
+            pltpu.VMEM((kvh, 1), jnp.float32),
+            pltpu.VMEM((kvh, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fused_kernel_i8_tm, chunk=chunk, groups=groups, scale=scale, rotary_dim=rotary_dim
+    )
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, hd), q.dtype),
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos_vec, q, k_new, v_new, cos[:, None, :], sin[:, None, :], kq, ks, vq, vs)
+
+
+def fused_decode_attention_int8_tmajor(
+    q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos,
+    *, rotary_dim: int, chunk: int | None = None, impl: str = "auto",
+):
+    """int8-cache decode step on T-major code caches (codes (B, KVH, hd, T)
+    int8, scales lane-major (B, KVH, 1, T) — scales are already T-minor so
+    only the code arrays transpose)."""
+    t = kq.shape[3]
+    if chunk is None:
+        from ternary_vllm_tpu.ops.decode_attention import pick_decode_chunk
+
+        chunk = pick_decode_chunk(t, kq.shape[1], kq.shape[2], 1)
+    shapes_ok = (
+        t % chunk == 0 and t >= chunk and chunk % 32 == 0
+        and rotary_dim % 2 == 0 and q.shape[2] >= rotary_dim
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = shapes_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if not use_pallas:
+        attn, kq2, ks2, vq2, vs2 = _fused_xla_i8(
+            q, k_new, v_new, cos, sin,
+            jnp.swapaxes(kq, 2, 3), ks, jnp.swapaxes(vq, 2, 3), vs, pos, rotary_dim,
+        )
+        return attn, jnp.swapaxes(kq2, 2, 3), ks2, jnp.swapaxes(vq2, 2, 3), vs2
+    return _fused_pallas_i8_tm(
+        q, k_new, v_new, cos, sin, kq, ks, vq, vs, jnp.asarray(pos),
         rotary_dim=rotary_dim, chunk=chunk, interpret=not on_tpu,
     )

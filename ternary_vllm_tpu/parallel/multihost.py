@@ -69,12 +69,30 @@ def hybrid_mesh(dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
         raise ValueError(f"dp*tp={dp*tp} != {len(jax.devices())} devices")
     if n_proc > 1:
         shapes = _hybrid_factorization(dp, tp, n_proc)
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=shapes["ici"], dcn_mesh_shape=shapes["dcn"]
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=shapes["ici"], dcn_mesh_shape=shapes["dcn"]
+            )
+        except ValueError:
+            # virtual multi-process runs (jax.distributed over CPU devices)
+            # have no slice_index attribution, so the slice-counting inside
+            # create_hybrid_device_mesh rejects them — build the same
+            # arrangement manually: group devices by process (the DCN
+            # granule), processes fill the dcn factors, local devices the
+            # ici factors
+            devices = _manual_hybrid_mesh(shapes["ici"], shapes["dcn"])
     else:
         devices = mesh_utils.create_device_mesh((dp, tp))
     return Mesh(devices, ("data", "model"))
+
+
+def _manual_hybrid_mesh(ici: tuple, dcn: tuple) -> np.ndarray:
+    """(dcn_d, dcn_m) × (ici_d, ici_m) device grid with devices grouped by
+    process — same layout contract as ``create_hybrid_device_mesh``."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    arr = np.array(devs).reshape(dcn[0], dcn[1], ici[0], ici[1])
+    arr = arr.transpose(0, 2, 1, 3)  # (dcn_d, ici_d, dcn_m, ici_m)
+    return arr.reshape(dcn[0] * ici[0], dcn[1] * ici[1])
 
 
 def _hybrid_factorization(dp: int, tp: int, n_proc: int) -> dict:

@@ -65,10 +65,10 @@ def _splice_slot(cache, local, slot):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "bucket", "cache_dtype", "tp"),
+    static_argnames=("config", "specs", "bucket", "cache_dtype", "tp", "layout"),
     donate_argnums=(4,),
 )
-def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16", tp=None):
+def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16", tp=None, layout="rowmajor"):
     """Prefill + splice into the engine cache + record the first token, in
     ONE dispatch (this transport charges ~10-35 ms per host round-trip, so
     the old prefill→install→argmax-fetch admission cost 3 round trips per
@@ -76,6 +76,10 @@ def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, promp
     bucket shape recompiles."""
     local = phi.init_cache(config, 1, bucket, _CACHE_DTYPES[cache_dtype])
     logits, local = _forward(params, config, specs, embeds, local, 0, tp)
+    if layout == "tmajor":
+        # prefill runs row-major (the chunk-prefill kernels need it); the
+        # engine cache is T-major — transpose the bucket-sized local once
+        local = phi.transpose_cache(local)
     new_cache = _splice_slot(cache, local, slot)
     last = jax.lax.dynamic_index_in_dim(logits[0], prompt_len - 1, axis=0, keepdims=False)
     first = jnp.argmax(last).astype(jnp.int32)
@@ -92,6 +96,20 @@ _CACHE_DTYPES = {"bf16": jnp.bfloat16, "int8": "int8"}
 # "auto" picks int8 whenever the cache is big enough that requests are
 # expected to spend most of their decode beyond the crossover.
 _AUTO_INT8_MIN_LEN = 2048
+
+
+def resolve_cache_layout(cache_layout: str, max_len: int, head_dim: int, tp) -> str:
+    """Resolve ``cache_layout="auto"``: T-major ``(B, KVH, hd, T)`` when the
+    engine is long-context (max_len ≥ 2048) and head_dim < 128 — the
+    row-major cache is lane-padded to 128 inside the jitted decode loop, so
+    decode attention streams 2× the logical KV bytes (round-4 study,
+    docs/DESIGN.md §6: 176 → 97 µs/layer at 8k).  hd ≥ 128 is never padded
+    (no benefit), and the TP paths keep row-major this round."""
+    if cache_layout == "auto":
+        if max_len >= 2048 and head_dim < 128 and tp is None:
+            return "tmajor"
+        return "rowmajor"
+    return cache_layout
 
 
 def resolve_cache_dtype(cache_dtype: str, max_len: int, head_dim: int = 64) -> str:
@@ -190,10 +208,12 @@ def _prefill_chunk(params, config, specs, embeds, local, start_pos, chunk_len, *
     return local, first
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _install_local(cache, local, slot, tokens, pos, first, total_len):
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("layout",))
+def _install_local(cache, local, slot, tokens, pos, first, total_len, *, layout="rowmajor"):
     """Splice a fully prefilled slot-local cache into the engine cache and
     record the first token + position — the chunked-admission epilogue."""
+    if layout == "tmajor":
+        local = phi.transpose_cache(local)
     new_cache = _splice_slot(cache, local, slot)
     tokens = tokens.at[slot].set(first)
     pos = pos.at[slot].set(total_len)
@@ -216,12 +236,13 @@ def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket, cache_
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype", "tp"),
+    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype", "tp", "layout"),
     donate_argnums=(5,),
 )
 def _prefill_suffix_into(
     params, config, specs, suffix_emb, prefix_blocks, cache, slot, tokens, pos,
     prefix_len, suffix_len, *, pbucket, sbucket, cache_dtype="bf16", tp=None,
+    layout="rowmajor",
 ):
     """Admission with a cached prefix, in ONE dispatch: seed a local cache
     with the prefix KV block, prefill only the suffix at ``pos=prefix_len``
@@ -235,12 +256,28 @@ def _prefill_suffix_into(
             for l, blk in zip(lkv, prefix_blocks)
         ))
     logits, seeded = _forward(params, config, specs, suffix_emb, seeded, prefix_len, tp)
+    if layout == "tmajor":
+        seeded = phi.transpose_cache(seeded)
     new_cache = _splice_slot(cache, seeded, slot)
     last = jax.lax.dynamic_index_in_dim(logits[0], suffix_len - 1, axis=0, keepdims=False)
     first = jnp.argmax(last).astype(jnp.int32)
     tokens = tokens.at[slot].set(first)
     pos = pos.at[slot].set(prefix_len + suffix_len)
     return new_cache, tokens, pos
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _seed_local_prefix(local, prefix_blocks):
+    """Seed a slot-local cache with a cached prefix's stacked KV blocks at
+    position 0 (chunked-admission-with-prefix prologue; same splice as
+    :func:`_prefill_suffix_into`)."""
+    out = []
+    for i, lkv in enumerate(local):
+        out.append(tuple(
+            jax.lax.dynamic_update_slice(l, blk[i].astype(l.dtype), (0,) * l.ndim)
+            for l, blk in zip(lkv, prefix_blocks)
+        ))
+    return out
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -408,11 +445,14 @@ class Engine:
         buckets=(32, 64, 128, 256, 512, 1024),
         burst: int = 1,
         cache_dtype: str = "auto",
+        cache_layout: str = "auto",
         mesh=None,
         tp_axis: str = "model",
         tp_a8: bool = False,
-        speculative: int = 0,
+        speculative="auto",
         spec_ngram: int = 3,
+        spec_miss_limit: int = 4,
+        spec_retry_period: int = 64,
     ):
         """``mesh``: a jax Mesh for tensor-parallel serving — ``params`` must
         then be in :func:`phi_tp.tp_relayout_packed_params` layout (use
@@ -430,9 +470,16 @@ class Engine:
         ``k`` tokens per slot from that slot's device-side history and
         verifies them in one forward — accepted runs emit several tokens per
         step with output identical to plain greedy decode (lossless).
-        Measured (BENCHMARKS.md): k=4 is +30% on repetitive output but −34%
-        when proposals never match, so the default is OFF — enable for
-        repetitive/structured workloads."""
+        Round-3 measurement (BENCHMARKS.md): k=4 is +30% on repetitive
+        output but −34% when proposals never match.  Round 4 made the
+        policy ADAPTIVE, so the default is now ON for greedy engines
+        (``speculative="auto"`` → k=4 when temperature == 0, off
+        otherwise): a slot that misses ``spec_miss_limit`` consecutive
+        verifies is paused for ``spec_retry_period`` iterations; when no
+        active slot is spec-eligible the engine runs plain decode bursts
+        (the always-miss regime costs one verify window per retry period
+        instead of one per step); a retry re-seeds the slot's history from
+        the host token log (histories go stale during plain decode)."""
         self.params = params
         self.config = config
         self.specs = phi.freeze_specs(specs) if specs is not None else None
@@ -454,8 +501,13 @@ class Engine:
         self.max_len = max_len
         self.temperature = temperature
         self.burst = burst  # fused decode steps per scheduling point
+        spec_auto = speculative == "auto"
+        if spec_auto:
+            speculative = 4 if temperature == 0.0 else 0
         self.spec_k = int(speculative)
         self.spec_n = int(spec_ngram)
+        self.spec_miss_limit = int(spec_miss_limit)
+        self.spec_retry_period = int(spec_retry_period)
         if self.spec_k and temperature != 0.0:
             raise ValueError("speculative decoding requires temperature=0 (greedy)")
         self.buckets = tuple(b for b in buckets if b <= max_len)
@@ -464,7 +516,30 @@ class Engine:
                 f"cache_dtype must be 'auto' or one of {sorted(_CACHE_DTYPES)}"
             )
         self.cache_dtype = resolve_cache_dtype(cache_dtype, max_len, config.head_dim)
-        self.cache = phi.init_cache(config, max_batch, max_len, _CACHE_DTYPES[self.cache_dtype])
+        self.cache_layout = resolve_cache_layout(
+            cache_layout, max_len, config.head_dim, self.tp
+        )
+        if self.cache_layout == "tmajor" and self.spec_k:
+            # speculation verifies k+1-token windows through the chunk-prefill
+            # path, which requires a row-major cache; T-major supports only
+            # single-token decode.  Auto-resolved spec silently yields;
+            # an explicit request is an error.
+            if not spec_auto:
+                raise ValueError(
+                    "speculative decoding is not supported with "
+                    "cache_layout='tmajor' (multi-token verify windows need a "
+                    "row-major cache); pass cache_layout='rowmajor' or "
+                    "speculative=0"
+                )
+            _logger.info(
+                "Engine: adaptive speculation disabled (cache_layout='tmajor' "
+                "supports single-token decode only)"
+            )
+            self.spec_k = 0
+        self.cache = phi.init_cache(
+            config, max_batch, max_len, _CACHE_DTYPES[self.cache_dtype],
+            layout=self.cache_layout,
+        )
         if self.tp is not None:
             from ternary_vllm_tpu.models import phi_tp
 
@@ -475,6 +550,10 @@ class Engine:
             hist_w = max_len + self.spec_k + 2
             self.history = jnp.zeros((max_batch, hist_w), jnp.int32)
             self.hist_len = jnp.zeros((max_batch,), jnp.int32)
+            # adaptive speculation state (host side): consecutive zero-accept
+            # verifies per slot; iterations left before a paused slot retries
+            self._spec_miss: List[int] = [0] * max_batch
+            self._spec_pause: List[int] = [0] * max_batch
         # host mirror of per-slot positions (avoids a D2H fetch per step)
         self.pos_host: List[int] = [0] * max_batch
         # slots whose prefill first-token hasn't been reported to the host yet
@@ -572,7 +651,14 @@ class Engine:
         ``ceil(t / largest_bucket) + 1`` dispatches instead of 1; each
         chunk's attention reads the full cache capacity (masked), so
         chunk prefill is O(chunks × max_len) attention — still far cheaper
-        than compiling a one-off full-length program per prompt length."""
+        than compiling a one-off full-length program per prompt length.
+
+        With ``req.prefix_id`` set, the local cache is seeded from the
+        cached prefix KV first and the suffix chunks start at
+        ``pos = prefix_len`` — the VLM long-conversation case (image/system
+        prefix + long suffix) that the prefix cache exists for (the
+        reference recomputes its 729-token image prefill per question,
+        ``test_tflite.py:104-127``)."""
         t = req.prompt_embeds.shape[1]
         chunk = self.buckets[-1]
         local = phi.init_cache(self.config, 1, self.max_len, _CACHE_DTYPES[self.cache_dtype])
@@ -580,13 +666,18 @@ class Engine:
             from ternary_vllm_tpu.models import phi_tp
 
             local = phi_tp.shard_tp_cache(local, self.tp[0], self.tp[1])
+        base = 0
+        if req.prefix_id is not None:
+            blocks, plen, _pbucket = self._prefixes[req.prefix_id]
+            local = _seed_local_prefix(local, blocks)
+            base = plen
         emb_np = np.asarray(req.prompt_embeds)
         off = 0
         first = None
         while off < t:
             n = min(chunk, t - off)
             b = self._bucket(n)
-            if off + b > self.max_len:
+            if base + off + b > self.max_len:
                 # The padded bucket would overrun cache capacity: phi's cache
                 # write (lax.dynamic_update_slice) silently CLAMPS the start
                 # index, overwriting the previous chunk's live KV (reachable
@@ -596,25 +687,26 @@ class Engine:
                 # capacity; if no bucket fits, pad to exactly the remainder
                 # (n <= max_len - off always holds because admission checks
                 # t + 1 <= max_len).
-                fit = [bk for bk in self.buckets if off + bk <= self.max_len]
+                fit = [bk for bk in self.buckets if base + off + bk <= self.max_len]
                 if fit and fit[-1] < n:
                     n = fit[-1]
                     b = n
                 else:
-                    b = self.max_len - off
+                    b = self.max_len - (base + off)
             piece = emb_np[:, off : off + n]
             if b > n:
                 piece = np.pad(piece, ((0, 0), (0, b - n), (0, 0)))
             local, first = _prefill_chunk(
                 self.params, self.config, self.specs, jnp.asarray(piece), local,
-                jnp.int32(off), jnp.int32(n), first_chunk=(off == 0), tp=self.tp,
+                jnp.int32(base + off), jnp.int32(n),
+                first_chunk=(base + off == 0), tp=self.tp,
             )
             off += n
         self.cache, self.tokens, self.pos = _install_local(
             self.cache, local, jnp.int32(slot), self.tokens, self.pos,
-            first, jnp.int32(t),
+            first, jnp.int32(base + t), layout=self.cache_layout,
         )
-        self.pos_host[slot] = t
+        self.pos_host[slot] = base + t
 
     def _admit(self):
         """Prefill queued prompts into free slots — zero host round-trips.
@@ -628,19 +720,14 @@ class Engine:
             req = self.queue.popleft()
             t = req.prompt_embeds.shape[1]
             if t > self.buckets[-1]:
-                # long prompt: chunked admission (prefix splicing composes
-                # with bucketed suffixes only — a long suffix on top of a
-                # cached prefix is not supported)
-                if req.prefix_id is not None:
-                    raise NotImplementedError(
-                        f"prompt length {t} exceeds largest bucket "
-                        f"{self.buckets[-1]}; chunked admission does not "
-                        "compose with prefix_id"
-                    )
-                if t + 1 > self.max_len:
+                # long prompt: chunked admission; with prefix_id the local
+                # cache seeds from the cached prefix and chunks start at
+                # pos = prefix_len
+                plen = self._prefixes[req.prefix_id][1] if req.prefix_id is not None else 0
+                if plen + t + 1 > self.max_len:
                     raise ValueError(
-                        f"prompt length {t} needs at least {t + 1} cache "
-                        f"slots, max_len={self.max_len}"
+                        f"prompt length {t} (+ prefix {plen}) needs at least "
+                        f"{plen + t + 1} cache slots, max_len={self.max_len}"
                     )
                 self._admit_chunked(req, slot)
                 req.slot = slot
@@ -672,6 +759,7 @@ class Engine:
                     self.cache, jnp.int32(slot), self.tokens, self.pos,
                     jnp.int32(plen), jnp.int32(t), pbucket=pbucket, sbucket=b,
                     cache_dtype=self.cache_dtype, tp=self.tp,
+                    layout=self.cache_layout,
                 )
                 self.pos_host[slot] = plen + t
             else:
@@ -679,6 +767,7 @@ class Engine:
                     self.params, self.config, self.specs, emb, self.cache,
                     jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
                     cache_dtype=self.cache_dtype, tp=self.tp,
+                    layout=self.cache_layout,
                 )
                 self.pos_host[slot] = t
             req.slot = slot
@@ -693,20 +782,56 @@ class Engine:
         first token (still device-side)."""
         if req.prompt_ids is not None:
             ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
-            n_ids = len(ids)
+        else:
+            ids = np.zeros((0,), np.int32)
+        self._seed_history_ids(slot, ids, self.tokens[slot])
+        self._spec_miss[slot] = 0
+        self._spec_pause[slot] = 0
+
+    def _seed_history_ids(self, slot: int, ids: np.ndarray, first_token):
+        """Write ``[ids | first_token]`` into a slot's history row (ids may
+        be empty; ``first_token`` is a host int or a device scalar)."""
+        n_ids = len(ids)
+        if n_ids == 0:
+            ids_dev = jnp.zeros((1,), jnp.int32)
+        else:
             if n_ids <= self.buckets[-1]:
                 pb = self._bucket(n_ids)  # pad to a bucket: bounded compiles
             else:
-                pb = self.max_len  # long prompt: one extra shape, bounded
+                pb = self.max_len  # long history: one extra shape, bounded
             ids_dev = jnp.asarray(np.pad(ids, (0, pb - n_ids)))
-            plen = jnp.int32(n_ids)
-        else:
-            ids_dev = jnp.zeros((1,), jnp.int32)
-            plen = jnp.int32(0)
         self.history, self.hist_len = _seed_history(
             self.history, self.hist_len, jnp.int32(slot), ids_dev,
-            plen, self.tokens[slot],
+            jnp.int32(n_ids), jnp.asarray(first_token, jnp.int32),
         )
+
+    def _respec_slot(self, req: Request, slot: int):
+        """Refresh a paused slot's history from the host token log before a
+        speculation retry (histories go stale while the slot rides plain
+        decode; a retry on a stale tail would be biased to miss again)."""
+        ids = []
+        if req.prompt_ids is not None:
+            ids = list(np.asarray(req.prompt_ids, np.int32).reshape(-1))
+        ids = ids + req.tokens
+        if not ids:
+            return
+        self._seed_history_ids(slot, np.asarray(ids[:-1], np.int32), ids[-1])
+
+    def _spec_update(self, per_slot):
+        """Adaptive-speculation accounting after a spec iteration/burst.
+        ``per_slot``: list of (verifies_run, proposals_accepted) per slot.
+        ``spec_miss_limit`` consecutive zero-accept verifies pause a slot
+        for ``spec_retry_period`` iterations."""
+        for slot, (verifies, accepted) in enumerate(per_slot):
+            if self.slots[slot] is None or self._spec_pause[slot] > 0 or verifies == 0:
+                continue
+            if accepted > 0:
+                self._spec_miss[slot] = 0
+            else:
+                self._spec_miss[slot] += verifies
+                if self._spec_miss[slot] >= self.spec_miss_limit:
+                    self._spec_pause[slot] = self.spec_retry_period
+                    self._spec_miss[slot] = 0
 
     def _finish(self, req: Request):
         req.done = True
@@ -747,11 +872,28 @@ class Engine:
         eos_ids = jnp.asarray(
             [r.eos_id if r is not None else -2 for r in self.slots], jnp.int32
         )
+        # Adaptive speculation gating: decrement pauses, re-seed retrying
+        # slots, and decide whether ANY active slot is spec-eligible this
+        # iteration — when none is, plain decode serves the iteration (the
+        # always-miss regime pays one verify window per retry period, not
+        # one per step).
+        spec_on = False
+        if self.spec_k:
+            for slot, r in enumerate(self.slots):
+                if r is None:
+                    continue
+                if self._spec_pause[slot] > 0:
+                    self._spec_pause[slot] -= 1
+                    if self._spec_pause[slot] == 0:
+                        self._respec_slot(r, slot)
+                        spec_on = True
+                else:
+                    spec_on = True
         # When the verify window no longer fits the cache the engine falls
         # back to plain decode for the iteration; histories go stale, which
         # only degrades PROPOSALS (verification keeps output lossless).
         if (
-            self.spec_k
+            spec_on
             and max_active_pos + self.spec_k + 1 < self.max_len
         ):
             # fused spec burst: each iteration may emit up to k+1 tokens, so
@@ -782,6 +924,10 @@ class Engine:
                     for i in range(b)
                 ]
                 adv_by_slot = nv.sum(axis=0).tolist()
+                self._spec_update(
+                    [(int((nv[:, i] > 0).sum()), int((nv[nv[:, i] > 0, i] - 1).sum()))
+                     for i in range(b)]
+                )
             else:
                 (
                     toks, nvalid, self.cache, self.pos,
@@ -805,6 +951,10 @@ class Engine:
                 # (rows that hit eos are freed and re-prefilled, so the stale
                 # advance never matters — but the host mirror must match)
                 adv_by_slot = nvalid_host.tolist()
+                self._spec_update(
+                    [(1 if nvalid_host[i] > 0 else 0, max(int(nvalid_host[i]) - 1, 0))
+                     for i in range(b)]
+                )
         elif n_steps > 1:
             toks, self.cache, self.pos = _decode_burst(
                 self.params, self.config, self.specs, self.cache,

@@ -132,14 +132,47 @@ def test_chunked_prompt_beyond_capacity_raises():
         eng.run()
 
 
-def test_chunked_with_prefix_unsupported():
+def test_chunked_composes_with_prefix():
+    """A long suffix on a cached prefix (VLM long-conversation case: image
+    prefix + long question) decodes identically to prefilling the full
+    concatenated prompt — round-3 VERDICT missing #5 (`engine.py` used to
+    raise NotImplementedError here)."""
     params, specs = _setup()
+    prefix_ids = _prompt(6, seed=10)
+    suffix_ids = _prompt(20, seed=11)
+    prefix_emb = phi.embed_tokens(params, prefix_ids)
+    suffix_emb = phi.embed_tokens(params, suffix_ids)
+    full_emb = jnp.concatenate([prefix_emb, suffix_emb], axis=1)
+
+    ref = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(32,),
+                 cache_dtype="bf16")
+    ref.add_request(full_emb, max_new_tokens=6)
+    ref_tokens = ref.run()[0].tokens
+
     eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
                  cache_dtype="bf16")
-    pid = eng.register_prefix(phi.embed_tokens(params, _prompt(4)))
-    eng.add_request(phi.embed_tokens(params, _prompt(20)), max_new_tokens=4,
+    pid = eng.register_prefix(prefix_emb)
+    eng.add_request(suffix_emb, max_new_tokens=6, prefix_id=pid)
+    assert eng.run()[0].tokens == ref_tokens
+
+    # reuse: a second long suffix on the same prefix also matches
+    suffix2 = phi.embed_tokens(params, _prompt(12, seed=12))
+    ref2 = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(32,),
+                  cache_dtype="bf16")
+    ref2.add_request(jnp.concatenate([prefix_emb, suffix2], axis=1), max_new_tokens=6)
+    exp2 = ref2.run()[0].tokens
+    eng.add_request(suffix2, max_new_tokens=6, prefix_id=pid)
+    assert eng.run()[1].tokens == exp2
+
+
+def test_chunked_prefix_capacity_check():
+    params, specs = _setup()
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=32, buckets=(8,),
+                 cache_dtype="bf16")
+    pid = eng.register_prefix(phi.embed_tokens(params, _prompt(8)))
+    eng.add_request(phi.embed_tokens(params, _prompt(25)), max_new_tokens=2,
                     prefix_id=pid)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="cache"):
         eng.run()
 
 
@@ -189,6 +222,8 @@ def test_max_len_rounds_to_kernel_alignment():
     params, specs = _setup()
     eng = Engine(params, CFG, specs, max_batch=1, max_len=8384, buckets=(8,))
     assert eng.max_len == 8448
-    assert eng.cache[0][0].shape[2] == 8448
+    # long-context + hd<128 defaults to the T-major layout: capacity is dim 3
+    assert eng.cache_layout == "tmajor"
+    assert eng.cache[0][0].shape[3] == 8448
     eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,))
     assert eng.max_len == 64  # small caches: fallbacks handle, keep as asked

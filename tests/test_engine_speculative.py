@@ -154,3 +154,59 @@ def test_spec_burst_eos_stops_device_side():
     eng.add_request(emb, max_new_tokens=12, eos_id=eos, prompt_ids=ids)
     got = eng.run()[0].tokens
     assert got == toks[: toks.index(eos) + 1]
+
+
+def test_spec_auto_default_resolution(params):
+    """speculative="auto" (the default) turns on k=4 for greedy engines and
+    off for sampled ones."""
+    specs = phi.layer_specs(CFG)
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,))
+    assert eng.spec_k == 4
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
+                 temperature=0.7)
+    assert eng.spec_k == 0
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,),
+                 speculative=0)
+    assert eng.spec_k == 0
+
+
+def test_spec_adaptive_pauses_on_misses(params):
+    """A slot that never accepts proposals is paused after spec_miss_limit
+    zero-accept verifies: verify-forward count stops growing (plain decode
+    serves the iterations) until the retry period elapses."""
+    specs = phi.layer_specs(CFG)
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=256, buckets=(8,),
+                 speculative=4, spec_miss_limit=2, spec_retry_period=10)
+    prompt = jnp.asarray([[5, 6, 7]])
+    eng.add_request(phi.embed_tokens(params, prompt), max_new_tokens=60,
+                    prompt_ids=prompt)
+    verifies = []
+    for _ in range(40):
+        if not (eng.queue or any(s is not None for s in eng.slots)):
+            break
+        eng.step()
+        verifies.append(eng.stats["spec_verify_steps"])
+    # if every verify accepted something the workload is repetitive — the
+    # adaptive path never triggers and that's fine; otherwise the pause must
+    # produce at least one run of iterations with NO new verifies
+    if eng.stats["spec_accepted"] < eng.stats["spec_verify_steps"]:
+        flat = sum(1 for a, b in zip(verifies, verifies[1:]) if a == b)
+        assert flat > 0, "paused slot still ran verify forwards every step"
+
+
+def test_spec_adaptive_lossless_through_pause_and_retry(params):
+    """Output equality holds across pause -> plain decode -> re-seeded retry
+    transitions (the retry re-seeds history from the host token log)."""
+    specs = phi.layer_specs(CFG)
+    prompts = [jnp.asarray([[5, 6, 7]]), jnp.asarray([[9, 1, 2, 3, 4]])]
+    ref, _ = _run(
+        Engine(params, CFG, specs, max_batch=2, max_len=128, buckets=(8,),
+               speculative=0),
+        params, prompts, max_new=40,
+    )
+    got, _ = _run(
+        Engine(params, CFG, specs, max_batch=2, max_len=128, buckets=(8,),
+               speculative=4, spec_miss_limit=1, spec_retry_period=3),
+        params, prompts, max_new=40,
+    )
+    assert got == ref

@@ -207,3 +207,136 @@ def test_fused_i8_attention_matches_unfused_int8_attention():
         np.asarray(attn, np.float32), np.asarray(ref, np.float32),
         rtol=2e-5, atol=2e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# auto-chunk policy (round 4): chunk=256 at long context, within VMEM budget
+# ---------------------------------------------------------------------------
+
+from ternary_vllm_tpu.ops.decode_attention import pick_decode_chunk
+
+
+def test_pick_decode_chunk_policy():
+    # flagship (kvh=32, hd=64): 256 at long context, 128 below
+    assert pick_decode_chunk(8448, 32, 64, 2) == 256
+    assert pick_decode_chunk(2048, 32, 64, 2) == 256
+    assert pick_decode_chunk(1024, 32, 64, 2) == 128
+    # capacity must divide 256
+    assert pick_decode_chunk(2048 + 128, 32, 64, 2) == 128
+    # 7B-class hd=128: bf16 busts the VMEM budget, int8 codes fit
+    assert pick_decode_chunk(8192, 32, 128, 2) == 128
+    assert pick_decode_chunk(8192, 32, 128, 1) == 256
+
+
+def test_fused_pallas_chunk256_matches_reference():
+    """The 256-chunk program (auto-picked at capacity >= 2048) is numerically
+    identical to the 128-chunk one."""
+    t = 2048
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    q = jax.random.normal(ks[0], (B, H, HD), jnp.float32)
+    k_new = jax.random.normal(ks[1], (B, KVH, HD), jnp.float32)
+    v_new = jax.random.normal(ks[2], (B, KVH, HD), jnp.float32)
+    kc = jax.random.normal(ks[3], (B, KVH, t, HD), jnp.float32)
+    vc = jax.random.normal(ks[4], (B, KVH, t, HD), jnp.float32)
+    pos_v = jnp.asarray((200, 2000), jnp.int32)
+    angles = jax.random.uniform(ks[5], (B, RD // 2), maxval=3.0)
+    ang = jnp.concatenate([angles, angles], axis=1)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    ref = _reference(q, k_new, v_new, cos, sin, kc, vc, pos_v)
+    got = _fused_pallas(
+        q, k_new, v_new, cos, sin, kc, vc, pos_v,
+        rotary_dim=RD, chunk=256, interpret=True,
+    )
+    for name, r, g in zip(("attn", "k", "v"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-5, err_msg=name
+        )
+
+
+# ---------------------------------------------------------------------------
+# T-major cache layout (round 4): unpadded decode streaming
+# ---------------------------------------------------------------------------
+
+from ternary_vllm_tpu.ops.fused_decode_attention import (
+    _fused_pallas_tm,
+    _fused_pallas_i8_tm,
+    fused_decode_attention_tmajor,
+    fused_decode_attention_int8_tmajor,
+)
+
+
+@pytest.mark.parametrize("pos", [(5, 130), (0, 255), (127, 128)])
+def test_fused_tmajor_interpret_matches_reference(pos):
+    args = _setup(pos=pos)
+    ref = _reference(*args)
+    q, k_new, v_new, cos, sin, kc, vc, pos_v = args
+    got = _fused_pallas_tm(
+        q, k_new, v_new, cos, sin,
+        jnp.swapaxes(kc, 2, 3).copy(), jnp.swapaxes(vc, 2, 3).copy(), pos_v,
+        rotary_dim=RD, chunk=128, interpret=True,
+    )
+    names = ("attn", "k_cache", "v_cache")
+    for i, (name, r, g) in enumerate(zip(names, ref, got)):
+        g = np.asarray(g) if i == 0 else np.asarray(jnp.swapaxes(g, 2, 3))
+        np.testing.assert_allclose(
+            g, np.asarray(r), rtol=2e-5, atol=2e-5, err_msg=name
+        )
+
+
+def test_fused_tmajor_dispatcher_fallback():
+    args = _setup()
+    q, k_new, v_new, cos, sin, kc, vc, pos_v = args
+    ref = _reference(*args)
+    got = fused_decode_attention_tmajor(
+        q, k_new, v_new, cos, sin,
+        jnp.swapaxes(kc, 2, 3).copy(), jnp.swapaxes(vc, 2, 3).copy(), pos_v,
+        rotary_dim=RD,
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got[1], 2, 3)), np.asarray(ref[1]), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("pos", [(5, 130), (127, 128)])
+def test_fused_i8_tmajor_interpret_matches_rowmajor(pos):
+    """The int8 T-major kernel matches the row-major int8 kernel bit-for-bit
+    (same math, transposed code layout)."""
+    args = _setup_i8(pos=pos)
+    q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos_v = args
+    ref = _fused_pallas_i8(
+        q, k_new, v_new, cos, sin, kq.copy(), ks.copy(), vq.copy(), vs.copy(),
+        pos_v, rotary_dim=RD, chunk=128, interpret=True,
+    )
+    got = _fused_pallas_i8_tm(
+        q, k_new, v_new, cos, sin,
+        jnp.swapaxes(kq, 2, 3).copy(), ks.copy(), jnp.swapaxes(vq, 2, 3).copy(),
+        vs.copy(), pos_v, rotary_dim=RD, chunk=128, interpret=True,
+    )
+    names = ("attn", "kq", "ks", "vq", "vs")
+    for i, (name, r, g) in enumerate(zip(names, ref, got)):
+        if i in (1, 3):
+            g = jnp.swapaxes(g, 2, 3)
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=name,
+        )
+
+
+def test_fused_i8_tmajor_dispatcher_fallback():
+    args = _setup_i8()
+    q, k_new, v_new, cos, sin, kq, ks, vq, vs, pos_v = args
+    ref = fused_decode_attention_int8(
+        q, k_new, v_new, cos, sin, kq.copy(), ks.copy(), vq.copy(), vs.copy(),
+        pos_v, rotary_dim=RD,
+    )
+    got = fused_decode_attention_int8_tmajor(
+        q, k_new, v_new, cos, sin,
+        jnp.swapaxes(kq, 2, 3).copy(), ks.copy(), jnp.swapaxes(vq, 2, 3).copy(),
+        vs.copy(), pos_v, rotary_dim=RD,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0], np.float32), np.asarray(ref[0], np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
