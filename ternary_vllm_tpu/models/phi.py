@@ -90,7 +90,7 @@ class LinearSpec:
             raise ValueError(f"bad LinearSpec.kind {self.kind}")
 
 
-DENSE = LinearSpec()
+DENSE = LinearSpec(clip_val=None)
 
 #: profiling hook (tests/benchmarks only): when True, decoder layers skip
 #: rope/cache/attention and feed ln(x) straight into out_proj — isolates the
@@ -289,6 +289,11 @@ def apply_linear(spec: LinearSpec, p: Dict[str, Any], x, act: Optional[str] = No
     if spec.kind == "dense":
         y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
         y = y + p["b"]
+        # dequantized-dense specs (quantize.unpack_decoder_params) carry the
+        # packed spec's clip so the prefill-path numerics match decode's
+        # packed kernels; plain DENSE has clip_val=None (no clip, as before)
+        if spec.clip_val is not None:
+            y = jnp.clip(y, -abs(spec.clip_val), abs(spec.clip_val))
         return _ACTS[act](y).astype(x.dtype)
     if spec.kind == "qat":
         if spec.mode == "smoothBinary":

@@ -340,6 +340,249 @@ def _chunk_prefill_pallas_small_i8(q, kq, ks, vq, vs, start, tq: int, ckv: int):
 _SMALL_T = 32
 
 
+# ---------------------------------------------------------------------------
+# Heads-grouped large-T kernel (round 4).
+#
+# The round-3 tiled kernel (grid (B, KVH, T/tq, C/ckv)) re-streamed the live
+# KV once PER 128-query tile and paid one grid cell per (head, q-tile,
+# kv-chunk) — at T=1024, C=8448 that is 8448 cells/layer and ~2 GB of KV
+# re-reads per layer-chunk; the 8k-admission trace showed a FLAT 3.8 ms per
+# layer-chunk (19x the attention roofline), 72% of total prefill time.  This
+# variant keeps the WHOLE chunk's queries resident in VMEM for a group of
+# ``hg`` kv heads (grid (B, KVH/hg, C/ckv)), so the live KV streams exactly
+# once per head-group and the grid shrinks ~30x.  Online-softmax state lives
+# in scratch across the kv-chunk (innermost, arbitrary) dimension.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_hg(
+    start_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, t, ckv, hg, groups, scale,
+):
+    bi = pl.program_id(0)
+    c = pl.program_id(2)
+    start = start_ref[bi]
+    last = (start + t - 1) // ckv  # last kv chunk any query row may attend
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # a kv chunk is FULLY visible when its highest position precedes every
+    # query row ((c+1)*ckv - 1 <= start): the mask iotas/compares/select are
+    # ~3 extra VPU passes over the (hg, r, ckv) tile, and during late
+    # admission chunks nearly all kv chunks qualify — branch them away
+    full_vis = (c + 1) * ckv - 1 <= start
+
+    def _update(masked: bool):
+        hd = q_ref.shape[-1]
+        r = groups * t
+        q = q_ref[0].reshape(hg, r, hd)
+        k = k_ref[0].astype(q.dtype)  # (hg, ckv, hd)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # (hg, r, ckv)
+        if masked:
+            iq = jax.lax.broadcasted_iota(jnp.int32, (1, r, ckv), 1) % t
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, r, ckv), 2) + c * ckv
+            logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+        logits2 = logits.reshape(hg * r, ckv)
+
+        # rows fully masked in this chunk self-correct: their m stays NEG_INF
+        # (finite), p == 1 inflates l/acc, and the first chunk with a real
+        # logit zeroes both via corr = exp(NEG_INF - m_real) == 0.
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.reshape(hg, r, ckv).astype(v_ref.dtype), v_ref[0],
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ).reshape(hg * r, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when((c <= last) & full_vis)
+    def _():
+        _update(masked=False)
+
+    @pl.when((c <= last) & jnp.logical_not(full_vis))
+    def _():
+        _update(masked=True)
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(2) - 1))
+    def _():
+        hd = q_ref.shape[-1]
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(hg, groups, t, hd).astype(o_ref.dtype)
+
+
+def _kernel_hg_i8(
+    start_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, t, ckv, hg, groups, scale,
+):
+    bi = pl.program_id(0)
+    c = pl.program_id(2)
+    start = start_ref[bi]
+    last = (start + t - 1) // ckv
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    full_vis = (c + 1) * ckv - 1 <= start
+
+    def _update(masked: bool):
+        hd = q_ref.shape[-1]
+        r = groups * t
+        q = q_ref[0].reshape(hg, r, hd)
+        k = kq_ref[0].astype(q.dtype)  # int8 codes exact in bf16
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        logits = logits * ks_ref[0].astype(jnp.float32) * scale  # (hg,1,ckv) bcast
+        if masked:
+            iq = jax.lax.broadcasted_iota(jnp.int32, (1, r, ckv), 1) % t
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, r, ckv), 2) + c * ckv
+            logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+        logits2 = logits.reshape(hg * r, ckv)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        ps = p.reshape(hg, r, ckv) * vs_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            ps.astype(q.dtype), vq_ref[0].astype(q.dtype),
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ).reshape(hg * r, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when((c <= last) & full_vis)
+    def _():
+        _update(masked=False)
+
+    @pl.when((c <= last) & jnp.logical_not(full_vis))
+    def _():
+        _update(masked=True)
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(2) - 1))
+    def _():
+        hd = q_ref.shape[-1]
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(hg, groups, t, hd).astype(o_ref.dtype)
+
+
+def _pick_hg(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int) -> int:
+    """Largest kv-head group whose working set fits a ~8 MB VMEM budget.
+
+    Estimate per program: q + o (bf16, resident) + double-buffered K/V chunks
+    + f32 softmax state + the (hg, groups*t, ckv) f32 logits intermediate."""
+    budget = 8 * 1024 * 1024
+    for hg in (8, 4, 2, 1):
+        if kvh % hg != 0:
+            continue
+        r = groups * t
+        est = (
+            2 * hg * r * hd * 2  # q + o, bf16
+            + 2 * 2 * hg * ckv * hd * kv_itemsize  # K/V double-buffered
+            + hg * r * (hd + 2) * 4  # acc + m + l, f32
+            + hg * r * ckv * 4  # logits intermediate, f32
+        )
+        if est <= budget:
+            return hg
+    return 1
+
+
+def _hg_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, int8):
+    n_c = c_cap // ckv
+
+    def q_map(bi, g, c, start):
+        return (bi, g, 0, 0, 0)
+
+    def kv_map(bi, g, c, start):
+        last = (start[bi] + t - 1) // ckv
+        return (bi, g, jnp.minimum(c, last), 0)
+
+    def scale_map(bi, g, c, start):
+        last = (start[bi] + t - 1) // ckv
+        return (bi, g, 0, jnp.minimum(c, last))
+
+    q_spec = pl.BlockSpec((1, hg, groups, t, hd), q_map, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, hg, ckv, hd), kv_map, memory_space=pltpu.VMEM)
+    if int8:
+        sc_spec = pl.BlockSpec((1, hg, 1, ckv), scale_map, memory_space=pltpu.VMEM)
+        in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kvh // hg, n_c),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((hg * groups * t, 1), jnp.float32),
+            pltpu.VMEM((hg * groups * t, 1), jnp.float32),
+            pltpu.VMEM((hg * groups * t, hd), jnp.float32),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ckv",))
+def _chunk_prefill_pallas_hg(q, k_cache, v_cache, start, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = k_cache.shape[1], k_cache.shape[2]
+    groups = h // kvh
+    hg = _pick_hg(kvh, groups, t, hd, ckv, kv_itemsize=2)
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _hg_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, int8=False)
+    kernel = functools.partial(
+        _kernel_hg, t=t, ckv=ckv, hg=hg, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, k_cache, v_cache)
+    return out.reshape(b, h, t, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("ckv",))
+def _chunk_prefill_pallas_hg_i8(q, kq, ks, vq, vs, start, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = kq.shape[1], kq.shape[2]
+    groups = h // kvh
+    hg = _pick_hg(kvh, groups, t, hd, ckv, kv_itemsize=1)
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _hg_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, int8=True)
+    kernel = functools.partial(
+        _kernel_hg_i8, t=t, ckv=ckv, hg=hg, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, kq, ks, vq, vs)
+    return out.reshape(b, h, t, hd)
+
+
 def _grid_spec(b, kvh, groups, t, c_cap, hd, tq, ckv, int8):
     n_q = t // tq
     n_c = c_cap // ckv
@@ -485,8 +728,10 @@ def chunk_prefill_attention(
     t, c_cap = q.shape[2], k_cache.shape[2]
     on_tpu = jax.default_backend() == "tpu"
     cap_ok = c_cap % ckv == 0 and c_cap >= ckv
-    use_pallas = cap_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
-    if impl == "pallas" and not cap_ok:
+    use_pallas = cap_ok and (
+        impl in ("pallas", "pallas_tiled") or (impl == "auto" and on_tpu)
+    )
+    if impl in ("pallas", "pallas_tiled") and not cap_ok:
         raise ValueError(
             f"chunk_prefill_attention pallas needs C % {ckv} == 0, got C={c_cap}"
         )
@@ -498,8 +743,12 @@ def chunk_prefill_attention(
             qp, k_cache, v_cache, jnp.asarray(start), _SMALL_T, ckv
         )
         return out[:, :, :t]
+    if impl == "pallas_tiled":  # round-3 per-q-tile kernel, kept for A/Bs
+        qp, t = _pad_q(q, tq)
+        out = _chunk_prefill_pallas(qp, k_cache, v_cache, jnp.asarray(start), tq, ckv)
+        return out[:, :, :t]
     qp, t = _pad_q(q, tq)
-    out = _chunk_prefill_pallas(qp, k_cache, v_cache, jnp.asarray(start), tq, ckv)
+    out = _chunk_prefill_pallas_hg(qp, k_cache, v_cache, jnp.asarray(start), ckv)
     return out[:, :, :t]
 
 
@@ -511,8 +760,10 @@ def chunk_prefill_attention_int8(
     t, c_cap = q.shape[2], kq.shape[2]
     on_tpu = jax.default_backend() == "tpu"
     cap_ok = c_cap % ckv == 0 and c_cap >= ckv
-    use_pallas = cap_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
-    if impl == "pallas" and not cap_ok:
+    use_pallas = cap_ok and (
+        impl in ("pallas", "pallas_tiled") or (impl == "auto" and on_tpu)
+    )
+    if impl in ("pallas", "pallas_tiled") and not cap_ok:
         raise ValueError(
             f"chunk_prefill_attention_int8 pallas needs C % {ckv} == 0, got C={c_cap}"
         )
@@ -528,6 +779,10 @@ def chunk_prefill_attention_int8(
             qp, kq, ks, vq, vs, jnp.asarray(start), _SMALL_T, ckv
         )
         return out[:, :, :t]
+    if impl == "pallas_tiled":
+        qp, t = _pad_q(q, tq)
+        out = _chunk_prefill_pallas_i8(qp, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)
+        return out[:, :, :t]
     qp, t = _pad_q(q, tq)
-    out = _chunk_prefill_pallas_i8(qp, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)
+    out = _chunk_prefill_pallas_hg_i8(qp, kq, ks, vq, vs, jnp.asarray(start), ckv)
     return out[:, :, :t]

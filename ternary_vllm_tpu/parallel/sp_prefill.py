@@ -96,9 +96,14 @@ def sp_prefill(
     sequence-sharded over ``axis``.
     """
     spec_dicts = phi._spec_dicts(phi.freeze_specs(specs))
-    for spec in spec_dicts:
-        if "in_proj" in spec:
-            raise NotImplementedError("sp_prefill expects unfused layer specs")
+    if any("in_proj" in spec for spec in spec_dicts):
+        # flagship fused layout: relayout fused->unfused at the prefill
+        # boundary (pure plane slicing, numerics identical) — ring attention
+        # needs per-matmul access to Wqkv, but callers keep ONE param set
+        from ternary_vllm_tpu.quant.quantize import unfuse_packed_decoder_params
+
+        params, specs = unfuse_packed_decoder_params(params, spec_dicts, config)
+        spec_dicts = phi._spec_dicts(phi.freeze_specs(specs))
     b, t, d = embeds.shape
     n = mesh.shape[axis]
     if t % n != 0:

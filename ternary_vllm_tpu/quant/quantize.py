@@ -252,6 +252,145 @@ def fuse_packed_decoder_params(params, specs):
     return out, tuple(new_specs)
 
 
+def _unpack_w(packed, spec: LinearSpec, k: int, dtype):
+    """Packed uint8 planes → dequantized codes (k, N) in ``dtype``."""
+    from ternary_vllm_tpu.ops.packing import unpack_binary, unpack_q4, unpack_ternary
+
+    if spec.fmt == "q4":
+        return unpack_q4(packed, k, dtype)
+    mode = "binary" if spec.mode == "smoothBinary" else spec.mode
+    if mode == "ternary":
+        return unpack_ternary(packed, k, dtype)
+    return unpack_binary(packed, k, zero_one=(mode == "binary01"), dtype=dtype)
+
+
+def _packed_rows(spec: LinearSpec, k: int) -> int:
+    """Rows the (possibly fused) packed array devotes to a logical K of ``k``."""
+    from ternary_vllm_tpu.ops.packing import packed_binary_shape, packed_q4_shape, packed_ternary_shape
+
+    if spec.fmt == "q4":
+        return packed_q4_shape(k, 1)[0]
+    mode = "binary" if spec.mode == "smoothBinary" else spec.mode
+    if mode == "ternary":
+        return packed_ternary_shape(k, 1)[0]
+    return packed_binary_shape(k, 1)[0]
+
+
+def unfuse_packed_decoder_params(params, specs, config: Optional[PhiConfig] = None):
+    """Inverse of :func:`fuse_packed_decoder_params`: split each fused layer's
+    ``in_proj``/``out2`` packed blocks back into the four unfused packed
+    Linears (pure slicing of the planes — numerics identical).
+
+    Lets sequence-parallel ring prefill (``parallel/sp_prefill.py``, which
+    needs per-matmul access to Wqkv for attention) consume the SAME fused
+    packed params the single-chip flagship serves (round-3 VERDICT item 4),
+    relayouting at the prefill boundary instead of requiring callers to keep
+    a second unfused copy."""
+    cfg = config if config is not None else PhiConfig()
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    new_layers, new_specs = [], []
+    for layer, spec in zip(params["layers"], specs):
+        if "in_proj" not in spec:
+            new_layers.append(layer)
+            new_specs.append(spec)
+            continue
+        s_in, s_o2 = spec["in_proj"], spec["out2"]
+        ip, o2 = layer["in_proj"], layer["out2"]
+        rows1 = _packed_rows(s_o2, d)
+        new_layers.append(
+            {
+                "ln": layer["ln"],
+                "wqkv": {
+                    "packed": ip["packed"][:, : 3 * d],
+                    "scale": ip["scale"][: 3 * d],
+                    "b": ip["b"][: 3 * d],
+                },
+                "fc1": {
+                    "packed": ip["packed"][:, 3 * d :],
+                    "scale": ip["scale"][3 * d :],
+                    "b": ip["b"][3 * d :],
+                },
+                "out_proj": {
+                    "packed": o2["packed"][:rows1],
+                    "scale": o2["scale1"],
+                    "b": o2["b1"],
+                },
+                "fc2": {
+                    "packed": o2["packed"][rows1:],
+                    "scale": o2["scale2"],
+                    "b": o2["b2"],
+                },
+            }
+        )
+        unfused = dataclasses.replace(s_in, fmt="q2")
+        new_specs.append({n: unfused for n in QUANT_LINEARS})
+    out = dict(params)
+    out["layers"] = new_layers
+    return out, tuple(new_specs)
+
+
+def unpack_decoder_params(params, specs, config: Optional[PhiConfig] = None, dtype=jnp.bfloat16):
+    """Packed (fused or unfused) params → unfused DENSE params for prefill.
+
+    The prefill A/B (``bench_prefill.py``; round-3 VERDICT item 2) shows the
+    packed kernels lose at compute-bound prefill shapes (M = chunk), exactly
+    as the ViT study predicted (BENCHMARKS.md) — at M ≥ ~256 the MXU wants
+    plain bf16 matmuls.  This pass dequantizes each packed Linear ONCE at
+    engine build (``w = codes * scale``, column-wise) so chunked admission can
+    run dense while decode keeps the packed kernels on the same logical
+    weights.  Numerics match the packed path up to bf16 rounding: the dense
+    spec carries the packed spec's ``clip_val`` (honored by
+    ``phi.apply_linear``'s dense branch); only a8's activation-int8 rounding
+    is absent (it exists for kernel throughput, not accuracy).
+
+    HBM cost: a full bf16 copy of the decoder linears (e.g. ~2.4 GB for the
+    1.4B flagship) — callers gate on capacity (``Engine`` does).
+    """
+    cfg = config if config is not None else PhiConfig()
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    kdims = {"wqkv": d, "out_proj": d, "fc1": d, "fc2": f}
+    new_layers, new_specs = [], []
+    for layer, spec in zip(params["layers"], specs):
+        new_layer = {"ln": layer["ln"]}
+        new_spec = {}
+        if "in_proj" in spec:  # fused flagship layout -> split back to 4 Linears
+            s_in, s_o2 = spec["in_proj"], spec["out2"]
+            ip, o2 = layer["in_proj"], layer["out2"]
+            both = _unpack_w(ip["packed"], s_in, d, jnp.float32)
+            scale = ip["scale"].astype(jnp.float32)
+            wfull = both * scale[None, :]
+            bias = ip["b"]
+            rows1 = _packed_rows(s_o2, d)
+            w_out = _unpack_w(o2["packed"][:rows1], s_o2, d, jnp.float32)
+            w_fc2 = _unpack_w(o2["packed"][rows1:], s_o2, f, jnp.float32)
+            parts = {
+                "wqkv": (wfull[:, : 3 * d].astype(dtype), bias[: 3 * d]),
+                "fc1": (wfull[:, 3 * d :].astype(dtype), bias[3 * d :]),
+                "out_proj": ((w_out * o2["scale1"].astype(jnp.float32)[None, :]).astype(dtype), o2["b1"]),
+                "fc2": ((w_fc2 * o2["scale2"].astype(jnp.float32)[None, :]).astype(dtype), o2["b2"]),
+            }
+            clip = s_in.clip_val
+            for name, (w, b) in parts.items():
+                new_layer[name] = {"w": w, "b": b.astype(dtype)}
+                new_spec[name] = LinearSpec(kind="dense", clip_val=clip)
+        else:
+            for name in QUANT_LINEARS:
+                s, p = spec[name], layer[name]
+                if s.kind != "packed":
+                    new_layer[name] = p
+                    new_spec[name] = s
+                    continue
+                w = _unpack_w(p["packed"], s, kdims[name], jnp.float32)
+                w = (w * p["scale"].astype(jnp.float32)[None, :]).astype(dtype)
+                new_layer[name] = {"w": w, "b": p["b"].astype(dtype)}
+                new_spec[name] = LinearSpec(kind="dense", clip_val=s.clip_val)
+        new_layers.append(new_layer)
+        new_specs.append(new_spec)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out, tuple(new_specs)
+
+
 def size_report(params, specs) -> dict:
     """Bit-size accounting (reference ``binary/utils.py:41-71``): quantized
     params at 1 (binary) / 2 (ternary) bits, everything else at 16."""

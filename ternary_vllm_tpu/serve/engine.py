@@ -453,6 +453,7 @@ class Engine:
         spec_ngram: int = 3,
         spec_miss_limit: int = 4,
         spec_retry_period: int = 64,
+        prefill_path: str = "auto",
     ):
         """``mesh``: a jax Mesh for tensor-parallel serving — ``params`` must
         then be in :func:`phi_tp.tp_relayout_packed_params` layout (use
@@ -479,11 +480,52 @@ class Engine:
         active slot is spec-eligible the engine runs plain decode bursts
         (the always-miss regime costs one verify window per retry period
         instead of one per step); a retry re-seeds the slot's history from
-        the host token log (histories go stale during plain decode)."""
+        the host token log (histories go stale during plain decode).
+
+        ``prefill_path`` picks the weight path for ADMISSION forwards only
+        (decode and speculative verify always run the packed kernels):
+        "dense" dequantizes every packed Linear once at engine build
+        (``quantize.unpack_decoder_params``) and prefills with plain bf16
+        MXU matmuls — the measured winner at compute-bound prefill shapes
+        (``bench_prefill.py``: packed kernels are 0.58-0.81x dense at
+        M >= 256, as the ViT study predicted); "packed" shares decode's
+        params; "auto" picks dense for single-chip engines whose dense
+        copy costs <= ~4 GiB of HBM and max_len >= 2048 (long prompts =
+        chunked admission = many compute-bound chunk forwards)."""
         self.params = params
         self.config = config
         self.specs = phi.freeze_specs(specs) if specs is not None else None
         self.tp = (mesh, tp_axis, tp_a8) if mesh is not None else None
+        if prefill_path not in ("auto", "packed", "dense"):
+            raise ValueError(f"prefill_path must be auto|packed|dense, got {prefill_path}")
+        self.prefill_params, self.prefill_specs = params, self.specs
+        has_packed = specs is not None and any(
+            s.kind == "packed"
+            for spec in phi._spec_dicts(self.specs)
+            for s in spec.values()
+        )
+        if prefill_path == "auto":
+            d, f = config.hidden_size, config.intermediate_size
+            dense_bytes = (4 * d * d + 2 * d * f) * config.num_hidden_layers * 2
+            prefill_path = (
+                "dense"
+                if (
+                    self.tp is None
+                    and has_packed
+                    and max_len >= 2048
+                    and dense_bytes <= 4 << 30
+                )
+                else "packed"
+            )
+        if prefill_path == "dense" and has_packed and self.tp is None:
+            from ternary_vllm_tpu.quant.quantize import unpack_decoder_params
+
+            pf_params, pf_specs = unpack_decoder_params(
+                params, phi._spec_dicts(self.specs), config
+            )
+            self.prefill_params = pf_params
+            self.prefill_specs = phi.freeze_specs(pf_specs)
+        self.prefill_path = prefill_path if has_packed and self.tp is None else "packed"
         self.max_batch = max_batch
         if max_len >= 256 and max_len % 256 != 0:
             # the fused decode / chunk-prefill kernels need capacity % chunk
@@ -613,7 +655,7 @@ class Engine:
         if b > t:
             emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
         blocks = _prefill_prefix(
-            self.params, self.config, self.specs, jnp.asarray(emb),
+            self.prefill_params, self.config, self.prefill_specs, jnp.asarray(emb),
             jnp.int32(t), bucket=b, cache_dtype=self.cache_dtype, tp=self.tp,
         )
         pid = next(self._prefix_ids)
@@ -697,7 +739,8 @@ class Engine:
             if b > n:
                 piece = np.pad(piece, ((0, 0), (0, b - n), (0, 0)))
             local, first = _prefill_chunk(
-                self.params, self.config, self.specs, jnp.asarray(piece), local,
+                self.prefill_params, self.config, self.prefill_specs,
+                jnp.asarray(piece), local,
                 jnp.int32(base + off), jnp.int32(n),
                 first_chunk=(base + off == 0), tp=self.tp,
             )
@@ -755,7 +798,7 @@ class Engine:
                         f"max_len {self.max_len}"
                     )
                 self.cache, self.tokens, self.pos = _prefill_suffix_into(
-                    self.params, self.config, self.specs, emb, blocks,
+                    self.prefill_params, self.config, self.prefill_specs, emb, blocks,
                     self.cache, jnp.int32(slot), self.tokens, self.pos,
                     jnp.int32(plen), jnp.int32(t), pbucket=pbucket, sbucket=b,
                     cache_dtype=self.cache_dtype, tp=self.tp,
@@ -764,7 +807,7 @@ class Engine:
                 self.pos_host[slot] = plen + t
             else:
                 self.cache, self.tokens, self.pos = _prefill_into(
-                    self.params, self.config, self.specs, emb, self.cache,
+                    self.prefill_params, self.config, self.prefill_specs, emb, self.cache,
                     jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
                     cache_dtype=self.cache_dtype, tp=self.tp,
                     layout=self.cache_layout,

@@ -128,3 +128,33 @@ def test_small_kernel_parity_bf16_and_int8():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-3, atol=5e-3
     )
+
+
+def test_hg_matches_tiled_kernel():
+    """The round-4 heads-grouped kernel (impl default for t > 32) agrees with
+    the round-3 per-q-tile kernel and the dense fallback, across GQA and
+    batched distinct starts."""
+    for b, h, kvh, t, cap in ((1, 4, 4, 256, 1024), (2, 8, 2, 128, 512)):
+        q, k, v, _ = _setup(b=b, h=h, kvh=kvh, t=t, cap=cap)
+        start = jnp.asarray([cap - t - 3, 37][:b], jnp.int32)
+        hg_out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+        tiled = chunk_prefill_attention(q, k, v, start, impl="pallas_tiled")
+        ref = _xla_fallback(q, k, v, start)
+        np.testing.assert_allclose(
+            np.asarray(hg_out), np.asarray(tiled), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(hg_out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_hg_int8_matches_tiled_kernel():
+    from ternary_vllm_tpu.models.phi import _quantize_kv
+
+    q, k, v, start = _setup(t=128, cap=512, start=200)
+    kq, ksc = _quantize_kv(k)
+    vq, vsc = _quantize_kv(v)
+    hg_out = chunk_prefill_attention_int8(q, kq, ksc, vq, vsc, start, impl="pallas")
+    tiled = chunk_prefill_attention_int8(q, kq, ksc, vq, vsc, start, impl="pallas_tiled")
+    np.testing.assert_allclose(
+        np.asarray(hg_out, np.float32), np.asarray(tiled, np.float32),
+        rtol=2e-5, atol=2e-5,
+    )

@@ -1,0 +1,92 @@
+"""Engine prefill_path="dense": admission runs dequantized-dense matmuls
+(bench_prefill.py's measured winner at chunk shapes) while decode keeps the
+packed kernels — outputs must agree with an all-packed engine (round-3
+VERDICT item 2: the engine auto-selects the measured prefill winner)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ternary_vllm_tpu.models import phi
+from ternary_vllm_tpu.quant.quantize import (
+    QuantConfig,
+    fuse_packed_decoder_params,
+    pack_decoder_params,
+    quantize_decoder_params,
+    quantize_lm_head_int8,
+)
+from ternary_vllm_tpu.serve.engine import Engine
+
+CFG = phi.TINY_PHI_CONFIG
+
+
+@pytest.fixture(scope="module")
+def packed():
+    params = phi.init_phi_params(jax.random.PRNGKey(0), CFG)
+    qat, qspecs = quantize_decoder_params(params, CFG, QuantConfig())
+    p, s = pack_decoder_params(qat, qspecs, k_multiple=4)
+    p, s = fuse_packed_decoder_params(p, s)
+    return quantize_lm_head_int8(p), s
+
+
+def _prompt(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)))
+
+
+def _run(params, specs, emb, **kw):
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(16,),
+                 cache_dtype="bf16", speculative=0, **kw)
+    eng.add_request(emb, max_new_tokens=8)
+    return eng, eng.run()[0].tokens
+
+
+def test_dense_prefill_matches_packed(packed):
+    """Chunked admission (40-token prompt, bucket 16) through the dense
+    prefill path emits the same greedy tokens as the packed path."""
+    params, specs = packed
+    emb = phi.embed_tokens(params, _prompt(40))
+    eng_p, toks_packed = _run(params, specs, emb, prefill_path="packed")
+    eng_d, toks_dense = _run(params, specs, emb, prefill_path="dense")
+    assert eng_p.prefill_path == "packed"
+    assert eng_d.prefill_path == "dense"
+    assert eng_d.prefill_params is not eng_d.params
+    assert toks_dense == toks_packed
+
+
+def test_dense_prefill_short_prompt_and_prefix(packed):
+    """Single-dispatch admission and prefix-cached suffix admission also run
+    the dense path and agree with packed."""
+    params, specs = packed
+    emb = phi.embed_tokens(params, _prompt(10, seed=1))
+    _, toks_packed = _run(params, specs, emb, prefill_path="packed")
+    _, toks_dense = _run(params, specs, emb, prefill_path="dense")
+    assert toks_dense == toks_packed
+
+    prefix = phi.embed_tokens(params, _prompt(12, seed=2))
+    suffix = phi.embed_tokens(params, _prompt(6, seed=3))
+    outs = {}
+    for path in ("packed", "dense"):
+        eng = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(16,),
+                     cache_dtype="bf16", speculative=0, prefill_path=path)
+        pid = eng.register_prefix(prefix)
+        eng.add_request(suffix, max_new_tokens=8, prefix_id=pid)
+        outs[path] = eng.run()[0].tokens
+    assert outs["dense"] == outs["packed"]
+
+
+def test_auto_policy_resolution(packed):
+    """auto -> dense only for single-chip packed engines with max_len >= 2048
+    (and a dense copy that fits the budget); small engines stay packed."""
+    params, specs = packed
+    small = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(16,))
+    assert small.prefill_path == "packed"
+    big = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(16,))
+    assert big.prefill_path == "dense"
+
+    dense_params = phi.init_phi_params(jax.random.PRNGKey(1), CFG)
+    dense_specs = phi.layer_specs(CFG)
+    eng = Engine(dense_params, CFG, dense_specs, max_batch=1, max_len=2048, buckets=(16,))
+    assert eng.prefill_path == "packed"  # nothing packed to dequantize
+    assert eng.prefill_params is eng.params
