@@ -130,6 +130,40 @@ def worker(cache_dtype="bf16", max_len=1024, prompt_len=64, trace=False):
     }), flush=True)
 
 
+def batch_worker(batch=8, cache_dtype="bf16", max_len=1024, prompt_len=64):
+    """Aggregate decode t/s at batch > 1 through the Engine (round-3 VERDICT
+    weak #2: the 7B's ~530 us/step of fixed dispatch work is per STEP, not
+    per slot — batching amortizes it exactly like the 1.4B's 2176 t/s
+    aggregate at batch 8)."""
+    import jax
+
+    from ternary_vllm_tpu.serve.engine import Engine
+
+    cfg, params, specs = build(cache_dtype)
+    steps = 64
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, cfg.vocab_size, (1, prompt_len)) for _ in range(batch)]
+
+    def run():
+        eng = Engine(params, cfg, specs, max_batch=batch, max_len=max_len,
+                     burst=32, cache_dtype=cache_dtype, speculative=0,
+                     prefill_path="packed")
+        t0 = time.perf_counter()
+        for ids in prompts:
+            eng.add_request(prompt_ids=ids, max_new_tokens=1 + steps)
+        done = eng.run()
+        total = sum(len(r.tokens) - 1 for r in done)
+        return total / (time.perf_counter() - t0)
+
+    run()
+    log("  compiled")
+    tps = max(run() for _ in range(3))
+    print(json.dumps({
+        "cache": cache_dtype, "batch": batch, "max_len": max_len,
+        "prompt_len": prompt_len, "aggregate_tps": round(tps, 1),
+    }), flush=True)
+
+
 def main():
     args = sys.argv[1:]
     if args and args[0] == "--trace":
@@ -141,7 +175,11 @@ def main():
         pl_ = int(args[3]) if len(args) > 3 else 64
         worker(cd, ml, pl_)
         return
-    print("usage: bench_7b.py --worker|--trace ...", file=sys.stderr)
+    if args and args[0] == "--batch":
+        batch_worker(int(args[1]) if len(args) > 1 else 8,
+                     args[2] if len(args) > 2 else "bf16")
+        return
+    print("usage: bench_7b.py --worker|--trace|--batch ...", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -112,21 +112,21 @@ def worker(cache_dtype: str, prompt_len: int, max_len: int) -> None:
     from ternary_vllm_tpu.serve.engine import Engine
 
     cfg, params, specs = _flagship()
-    d = cfg.hidden_size
     jax.block_until_ready(params)
     log(f"[worker {cache_dtype} pl={prompt_len} ml={max_len}] params built")
 
-    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, prompt_len, d)) * 0.1).astype(jnp.bfloat16)
-    jax.block_until_ready(emb)
+    ids = np.random.default_rng(1).integers(0, cfg.vocab_size, (1, prompt_len))
 
     def run():
         # speculative=0: this bench measures raw decode streaming; the
         # engine's default adaptive speculation would inflate t/s via
-        # n-gram hits on the random-weight model's repetitive output
+        # n-gram hits on the random-weight model's repetitive output.
+        # ids admission = the production text path (device-side embedding;
+        # an 8k embeds upload costs ~1.5 s on this transport)
         eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
                      burst=BURST, cache_dtype=cache_dtype, speculative=0)
         t0 = time.perf_counter()
-        eng.add_request(emb, max_new_tokens=1 + DECODE_STEPS)
+        eng.add_request(prompt_ids=ids, max_new_tokens=1 + DECODE_STEPS)
         eng._admit()
         # a real fetch, not block_until_ready: this transport can report
         # readiness before remote execution finishes

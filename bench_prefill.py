@@ -116,27 +116,27 @@ def worker(path: str, prompt_len: int, max_len: int) -> None:
     from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
     from ternary_vllm_tpu.serve.engine import Engine
 
-    cfg, params, specs = _params()
-    if path == "packed":
-        params, specs = fuse_packed_decoder_params(params, specs)
-    elif path == "dense":
-        from ternary_vllm_tpu.quant.quantize import unpack_decoder_params
-
-        params, specs = unpack_decoder_params(params, specs)
-    else:
+    if path not in ("packed", "dense"):
         raise SystemExit(f"unknown path {path}")
-    d = cfg.hidden_size
+    cfg, params, specs = _params()
+    params, specs = fuse_packed_decoder_params(params, specs)
     jax.block_until_ready(params)
     log(f"[worker {path} pl={prompt_len}] params built")
 
-    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, prompt_len, d)) * 0.1).astype(jnp.bfloat16)
-    jax.block_until_ready(emb)
+    ids = np.random.default_rng(1).integers(0, cfg.vocab_size, (1, prompt_len))
 
     def run():
+        # prefill_path pinned: "dense" makes the engine unpack once at build
+        # (decode stays packed in both rows, as in production); ids admission
+        # = the production text path (device-side embedding)
         eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
-                     cache_dtype="bf16", speculative=0)
+                     cache_dtype="bf16", speculative=0, prefill_path=path)
+        # the dense path's one-time unpack runs async at engine build — force
+        # it to finish so it doesn't serialize into the timed admission
+        jax.block_until_ready(eng.prefill_params)
+        np.asarray(eng.tokens)
         t0 = time.perf_counter()
-        eng.add_request(emb, max_new_tokens=4)
+        eng.add_request(prompt_ids=ids, max_new_tokens=4)
         eng._admit()
         np.asarray(eng.tokens)  # real fetch (transport can report early)
         return time.perf_counter() - t0
@@ -161,25 +161,21 @@ def trace_worker(path: str, prompt_len: int, max_len: int) -> None:
     import jax.numpy as jnp
 
     from ternary_vllm_tpu.models import phi
-    from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params, unpack_decoder_params
+    from ternary_vllm_tpu.quant.quantize import fuse_packed_decoder_params
     from ternary_vllm_tpu.serve.engine import Engine
     from ternary_vllm_tpu.utils.profiling import trace
     from ternary_vllm_tpu.utils.trace_summary import summarize
 
     cfg, params, specs = _params()
-    if path == "packed":
-        params, specs = fuse_packed_decoder_params(params, specs)
-    else:
-        params, specs = unpack_decoder_params(params, specs)
-    d = cfg.hidden_size
+    params, specs = fuse_packed_decoder_params(params, specs)
     jax.block_until_ready(params)
-    emb = (jax.random.normal(jax.random.PRNGKey(1), (1, prompt_len, d)) * 0.1).astype(jnp.bfloat16)
+    ids = np.random.default_rng(1).integers(0, cfg.vocab_size, (1, prompt_len))
 
     def run():
         eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
-                     cache_dtype="bf16", speculative=0)
+                     cache_dtype="bf16", speculative=0, prefill_path=path)
         t0 = time.perf_counter()
-        eng.add_request(emb, max_new_tokens=4)
+        eng.add_request(prompt_ids=ids, max_new_tokens=4)
         eng._admit()
         np.asarray(eng.tokens)
         return time.perf_counter() - t0

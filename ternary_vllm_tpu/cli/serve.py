@@ -157,8 +157,22 @@ def main(argv=None):
         print(f"prefill {timing['prefill_s']*1e3:.1f}ms; "
               f"{timing['tokens']} tokens at {timing['tokens_per_s']:.1f} t/s")
     else:
-        from ternary_vllm_tpu.serve.engine import Engine
+        from ternary_vllm_tpu.serve.engine import Engine, resolve_cache_dtype
 
+        # KV sizing: the engine allocates max_batch x max_len up front —
+        # per-slot bytes = 2 * L * KVH * hd * max_len * itemsize (+ int8
+        # scales); warn when the uniform allocation is large enough that a
+        # mixed-capacity EnginePool (serve/pool.py) would pay for itself
+        kv_total = phi.cache_bytes(
+            config, args.max_batch, args.max_len,
+            resolve_cache_dtype(args.cache_dtype, args.max_len, config.head_dim),
+        )
+        print(f"KV cache: {args.max_batch} slots x {args.max_len} capacity "
+              f"= {kv_total / (1 << 30):.2f} GiB")
+        if kv_total > (2 << 30) and args.max_batch > 1:
+            print("  note: every slot pays full capacity; for mixed "
+                  "short/long traffic EnginePool allocates per-class "
+                  "capacities (ternary_vllm_tpu.serve.EnginePool)")
         eng = Engine(params, config, specs, max_batch=args.max_batch,
                      max_len=args.max_len, temperature=args.temperature,
                      burst=args.burst, cache_dtype=args.cache_dtype, mesh=mesh,

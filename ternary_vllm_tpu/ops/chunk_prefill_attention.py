@@ -481,11 +481,15 @@ def _kernel_hg_i8(
 
 
 def _pick_hg(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int) -> int:
-    """Largest kv-head group whose working set fits a ~8 MB VMEM budget.
+    """Largest kv-head group whose working set fits a ~7 MB VMEM budget.
 
     Estimate per program: q + o (bf16, resident) + double-buffered K/V chunks
-    + f32 softmax state + the (hg, groups*t, ckv) f32 logits intermediate."""
-    budget = 8 * 1024 * 1024
+    + f32 softmax state + the (hg, groups*t, ckv) f32 logits intermediates —
+    TWO of them on the int8 path (kv_itemsize == 1), which materializes both
+    ``p`` and the V-scale-folded ``p·s`` (the hg=4 int8 variant measured a
+    16.6 MB scoped-vmem stack against the 16 MB limit at t=1024)."""
+    budget = 7 * 1024 * 1024
+    n_logits = 2 if kv_itemsize == 1 else 1
     for hg in (8, 4, 2, 1):
         if kvh % hg != 0:
             continue
@@ -494,7 +498,7 @@ def _pick_hg(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int)
             2 * hg * r * hd * 2  # q + o, bf16
             + 2 * 2 * hg * ckv * hd * kv_itemsize  # K/V double-buffered
             + hg * r * (hd + 2) * 4  # acc + m + l, f32
-            + hg * r * ckv * 4  # logits intermediate, f32
+            + n_logits * hg * r * ckv * 4  # logits intermediates, f32
         )
         if est <= budget:
             return hg

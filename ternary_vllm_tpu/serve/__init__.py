@@ -1,4 +1,5 @@
 from ternary_vllm_tpu.serve.decode import Decoder, greedy_generate
+from ternary_vllm_tpu.serve.pool import EnginePool
 from ternary_vllm_tpu.serve.sampling import sample_token
 from ternary_vllm_tpu.serve.speculative import (
     ngram_propose,
@@ -8,6 +9,7 @@ from ternary_vllm_tpu.serve.speculative import (
 
 __all__ = [
     "Decoder",
+    "EnginePool",
     "greedy_generate",
     "sample_token",
     "ngram_propose",

@@ -35,7 +35,11 @@ _logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class Request:
-    prompt_embeds: Any  # (1, T, D) — suffix only when ``prefix_id`` is set
+    #: (1, T, D) float embeddings, or None to embed ``prompt_ids`` on device
+    #: (text prompts: ids upload in KBs where embeds cost MBs — this
+    #: transport moves ~20-30 MB/s, so an 8k-prompt embed roundtrip was
+    #: ~3 s of admission wall time).  Suffix only when ``prefix_id`` is set.
+    prompt_embeds: Any = None
     max_new_tokens: int = 64
     eos_id: int = -1
     request_id: int = 0
@@ -65,15 +69,18 @@ def _splice_slot(cache, local, slot):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "bucket", "cache_dtype", "tp", "layout"),
+    static_argnames=("config", "specs", "bucket", "cache_dtype", "tp", "layout", "from_ids"),
     donate_argnums=(4,),
 )
-def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16", tp=None, layout="rowmajor"):
+def _prefill_into(params, config, specs, embeds, cache, slot, tokens, pos, prompt_len, *, bucket, cache_dtype="bf16", tp=None, layout="rowmajor", from_ids=False):
     """Prefill + splice into the engine cache + record the first token, in
     ONE dispatch (this transport charges ~10-35 ms per host round-trip, so
     the old prefill→install→argmax-fetch admission cost 3 round trips per
     request).  ``slot`` and ``prompt_len`` are traced scalars — only the
-    bucket shape recompiles."""
+    bucket shape recompiles.  ``from_ids``: ``embeds`` is (1, bucket) int32
+    token ids, embedded here (device-side) instead of on the host."""
+    if from_ids:
+        embeds = phi.embed_tokens(params, embeds)
     local = phi.init_cache(config, 1, bucket, _CACHE_DTYPES[cache_dtype])
     logits, local = _forward(params, config, specs, embeds, local, 0, tp)
     if layout == "tmajor":
@@ -189,18 +196,33 @@ def _decode_burst(params, config, specs, cache, tokens, pos, key, temperature, a
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "first_chunk", "tp"),
+    static_argnames=("config", "specs", "bucket", "first_chunk", "tp", "from_ids"),
     donate_argnums=(4,),
 )
-def _prefill_chunk(params, config, specs, embeds, local, start_pos, chunk_len, *, first_chunk, tp=None):
+def _prefill_chunk(params, config, specs, emb_full, local, chunk_off, start_pos, chunk_len, *, bucket, first_chunk, tp=None, from_ids=False):
     """One chunk of a long-prompt prefill into a slot-local full-capacity
     cache (chunked admission: a prompt longer than the largest bucket is
     split into sequential bucket-sized prefills at advancing ``start_pos``;
     each chunk attends to all previous chunks' KV through the cache).  The
     first chunk uses the pure-causal flash prefill path (static pos=0).
 
+    ``emb_full`` is the WHOLE (padded) prompt, uploaded once by the caller;
+    the chunk is sliced device-side (``bucket`` rows at ``chunk_off``) — a
+    per-chunk host slice re-uploads megabytes per chunk through the
+    transport, which round-4 traces showed dominating admission wall time
+    (device 0.45 s vs wall 1.6 s at 8k).  Rows past ``chunk_len`` are
+    pad/garbage: their cache writes land beyond the live region, which no
+    later query attends before the next chunk overwrites them (same
+    argument as bucket padding).
+
     Returns ``(local, first)`` where ``first`` is the greedy token at the
     chunk's last true position — only the LAST chunk's value is used."""
+    if from_ids:  # (1, P) int32: slice the ids, embed device-side
+        ids = jax.lax.dynamic_slice(emb_full, (0, chunk_off), (1, bucket))
+        embeds = phi.embed_tokens(params, ids)
+    else:
+        d = emb_full.shape[-1]
+        embeds = jax.lax.dynamic_slice(emb_full, (0, chunk_off, 0), (1, bucket, d))
     pos = 0 if first_chunk else start_pos
     logits, local = _forward(params, config, specs, embeds, local, pos, tp)
     last = jax.lax.dynamic_index_in_dim(logits[0], chunk_len - 1, axis=0, keepdims=False)
@@ -236,18 +258,20 @@ def _prefill_prefix(params, config, specs, embeds, prompt_len, *, bucket, cache_
 
 @partial(
     jax.jit,
-    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype", "tp", "layout"),
+    static_argnames=("config", "specs", "pbucket", "sbucket", "cache_dtype", "tp", "layout", "from_ids"),
     donate_argnums=(5,),
 )
 def _prefill_suffix_into(
     params, config, specs, suffix_emb, prefix_blocks, cache, slot, tokens, pos,
     prefix_len, suffix_len, *, pbucket, sbucket, cache_dtype="bf16", tp=None,
-    layout="rowmajor",
+    layout="rowmajor", from_ids=False,
 ):
     """Admission with a cached prefix, in ONE dispatch: seed a local cache
     with the prefix KV block, prefill only the suffix at ``pos=prefix_len``
     (its writes land contiguously after the live prefix, overwriting prefix
     pad slots), splice into the engine cache, record the first token."""
+    if from_ids:
+        suffix_emb = phi.embed_tokens(params, suffix_emb)
     local = phi.init_cache(config, 1, pbucket + sbucket, _CACHE_DTYPES[cache_dtype])
     seeded = []
     for i, lkv in enumerate(local):
@@ -486,12 +510,13 @@ class Engine:
         (decode and speculative verify always run the packed kernels):
         "dense" dequantizes every packed Linear once at engine build
         (``quantize.unpack_decoder_params``) and prefills with plain bf16
-        MXU matmuls — the measured winner at compute-bound prefill shapes
-        (``bench_prefill.py``: packed kernels are 0.58-0.81x dense at
-        M >= 256, as the ViT study predicted); "packed" shares decode's
-        params; "auto" picks dense for single-chip engines whose dense
-        copy costs <= ~4 GiB of HBM and max_len >= 2048 (long prompts =
-        chunked admission = many compute-bound chunk forwards)."""
+        MXU matmuls.  Round-4 measurement (``bench_prefill.py``, after the
+        heads-grouped chunk-attention kernel and ids admission removed the
+        real prefill walls): dense is +14% at 4k and −13% at 8k — inside
+        run-to-run noise, with a full bf16 weight copy of HBM cost
+        (~2.4 GiB on the 1.4B flagship) — so "auto" resolves to "packed"
+        and dense stays an explicit opt-in for HBM-rich deployments with
+        4k-ish prompts."""
         self.params = params
         self.config = config
         self.specs = phi.freeze_specs(specs) if specs is not None else None
@@ -505,18 +530,10 @@ class Engine:
             for s in spec.values()
         )
         if prefill_path == "auto":
-            d, f = config.hidden_size, config.intermediate_size
-            dense_bytes = (4 * d * d + 2 * d * f) * config.num_hidden_layers * 2
-            prefill_path = (
-                "dense"
-                if (
-                    self.tp is None
-                    and has_packed
-                    and max_len >= 2048
-                    and dense_bytes <= 4 << 30
-                )
-                else "packed"
-            )
+            # measured (bench_prefill.py, round 4): packed vs dense admission
+            # differ by ~±14% depending on prompt length — not worth a full
+            # bf16 weight copy of HBM by default
+            prefill_path = "packed"
         if prefill_path == "dense" and has_packed and self.tp is None:
             from ternary_vllm_tpu.quant.quantize import unpack_decoder_params
 
@@ -617,7 +634,7 @@ class Engine:
 
     def add_request(
         self,
-        prompt_embeds,
+        prompt_embeds=None,
         max_new_tokens: int = 64,
         eos_id: int = -1,
         on_token: Optional[Callable[[int, Request], None]] = None,
@@ -629,9 +646,17 @@ class Engine:
         ``prefix_id`` (from :meth:`register_prefix`), ``prompt_embeds`` is the
         SUFFIX only — the prefix KV is spliced from the cache instead of
         recomputed (the reference recomputes its 729-token image prefill for
-        every question, ``test_tflite.py:104-127``)."""
+        every question, ``test_tflite.py:104-127``).
+
+        TEXT prompts should pass ``prompt_ids`` alone (``prompt_embeds=None``):
+        admission then uploads only the int32 ids and embeds them device-side
+        inside the prefill dispatch — an 8k prompt's bf16 embeddings are
+        ~33 MB, ~3 s of roundtrip on a remote-attached TPU, vs 32 KB of ids.
+        ``prompt_embeds`` remains for multimodal inputs (image embeddings)."""
         if prefix_id is not None and prefix_id not in self._prefixes:
             raise KeyError(f"unknown prefix_id {prefix_id}")
+        if prompt_embeds is None and prompt_ids is None:
+            raise ValueError("add_request needs prompt_embeds or prompt_ids")
         req = Request(
             prompt_embeds=prompt_embeds,
             max_new_tokens=max_new_tokens,
@@ -701,7 +726,7 @@ class Engine:
         prefix + long suffix) that the prefix cache exists for (the
         reference recomputes its 729-token image prefill per question,
         ``test_tflite.py:104-127``)."""
-        t = req.prompt_embeds.shape[1]
+        arr, t, from_ids = self._admission_input(req)
         chunk = self.buckets[-1]
         local = phi.init_cache(self.config, 1, self.max_len, _CACHE_DTYPES[self.cache_dtype])
         if self.tp is not None:
@@ -713,9 +738,10 @@ class Engine:
             blocks, plen, _pbucket = self._prefixes[req.prefix_id]
             local = _seed_local_prefix(local, blocks)
             base = plen
-        emb_np = np.asarray(req.prompt_embeds)
+        # plan the chunk schedule on the host first, so the (padded) prompt
+        # uploads ONCE and each chunk slices device-side (_prefill_chunk)
+        plan = []  # (off, n, bucket)
         off = 0
-        first = None
         while off < t:
             n = min(chunk, t - off)
             b = self._bucket(n)
@@ -735,21 +761,38 @@ class Engine:
                     b = n
                 else:
                     b = self.max_len - (base + off)
-            piece = emb_np[:, off : off + n]
-            if b > n:
-                piece = np.pad(piece, ((0, 0), (0, b - n), (0, 0)))
+            plan.append((off, n, b))
+            off += n
+        pad_to = max(o + b for o, _, b in plan)
+        arr_np = np.asarray(arr)
+        if pad_to > t:
+            pad = ((0, 0), (0, pad_to - t)) + (((0, 0),) if arr_np.ndim == 3 else ())
+            arr_np = np.pad(arr_np, pad)
+        arr_dev = jnp.asarray(arr_np)
+        first = None
+        for off, n, b in plan:
             local, first = _prefill_chunk(
                 self.prefill_params, self.config, self.prefill_specs,
-                jnp.asarray(piece), local,
-                jnp.int32(base + off), jnp.int32(n),
-                first_chunk=(base + off == 0), tp=self.tp,
+                arr_dev, local,
+                jnp.int32(off), jnp.int32(base + off), jnp.int32(n),
+                bucket=b, first_chunk=(base + off == 0), tp=self.tp,
+                from_ids=from_ids,
             )
-            off += n
         self.cache, self.tokens, self.pos = _install_local(
             self.cache, local, jnp.int32(slot), self.tokens, self.pos,
             first, jnp.int32(base + t), layout=self.cache_layout,
         )
         self.pos_host[slot] = base + t
+
+    def _admission_input(self, req: Request):
+        """(array, prompt_len, from_ids) for admission: float embeddings, or
+        int32 ids to embed device-side (see :meth:`add_request`)."""
+        if req.prompt_embeds is not None:
+            return req.prompt_embeds, req.prompt_embeds.shape[1], False
+        ids = np.asarray(req.prompt_ids)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        return ids.astype(np.int32), ids.shape[1], True
 
     def _admit(self):
         """Prefill queued prompts into free slots — zero host round-trips.
@@ -761,7 +804,7 @@ class Engine:
             if self.slots[slot] is not None or not self.queue:
                 continue
             req = self.queue.popleft()
-            t = req.prompt_embeds.shape[1]
+            arr, t, from_ids = self._admission_input(req)
             if t > self.buckets[-1]:
                 # long prompt: chunked admission; with prefix_id the local
                 # cache seeds from the cached prefix and chunks start at
@@ -780,7 +823,7 @@ class Engine:
                     self._seed_slot_history(req, slot)
                 continue
             b = self._bucket(t)
-            emb = req.prompt_embeds
+            emb = arr
             if b > t:
                 # pad on the HOST: a device-side pad (or any traced op on the
                 # raw prompt) compiles once per distinct prompt LENGTH —
@@ -788,7 +831,8 @@ class Engine:
                 # hundreds of ms. Host padding keeps compiles bounded by the
                 # bucket set; producers can also pre-pad to a bucket size.
                 emb = np.asarray(emb)
-                emb = np.pad(emb, ((0, 0), (0, b - t), (0, 0)))
+                pad = ((0, 0), (0, b - t)) + (((0, 0),) if emb.ndim == 3 else ())
+                emb = np.pad(emb, pad)
             emb = jnp.asarray(emb)
             if req.prefix_id is not None:
                 blocks, plen, pbucket = self._prefixes[req.prefix_id]
@@ -802,7 +846,7 @@ class Engine:
                     self.cache, jnp.int32(slot), self.tokens, self.pos,
                     jnp.int32(plen), jnp.int32(t), pbucket=pbucket, sbucket=b,
                     cache_dtype=self.cache_dtype, tp=self.tp,
-                    layout=self.cache_layout,
+                    layout=self.cache_layout, from_ids=from_ids,
                 )
                 self.pos_host[slot] = plen + t
             else:
@@ -810,7 +854,7 @@ class Engine:
                     self.prefill_params, self.config, self.prefill_specs, emb, self.cache,
                     jnp.int32(slot), self.tokens, self.pos, jnp.int32(t), bucket=b,
                     cache_dtype=self.cache_dtype, tp=self.tp,
-                    layout=self.cache_layout,
+                    layout=self.cache_layout, from_ids=from_ids,
                 )
                 self.pos_host[slot] = t
             req.slot = slot

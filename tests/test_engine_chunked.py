@@ -227,3 +227,22 @@ def test_max_len_rounds_to_kernel_alignment():
     assert eng.cache[0][0].shape[3] == 8448
     eng = Engine(params, CFG, specs, max_batch=1, max_len=64, buckets=(8,))
     assert eng.max_len == 64  # small caches: fallbacks handle, keep as asked
+
+
+def test_ids_admission_matches_embeds_admission():
+    """Text prompts admitted by prompt_ids alone (device-side embedding —
+    the transport-saving path) emit exactly what embeds admission does, for
+    both chunked and single-dispatch prompts."""
+    params, specs = _setup()
+    for n in (40, 10):  # chunked (bucket 16) and single-shot
+        ids = _prompt(n, seed=n)
+        emb = phi.embed_tokens(params, ids)
+        kw = dict(max_batch=1, max_len=128, buckets=(16,), cache_dtype="bf16",
+                  speculative=0)
+        ref = Engine(params, CFG, specs, **kw)
+        ref.add_request(emb, max_new_tokens=8)
+        ref_tokens = ref.run()[0].tokens
+
+        eng = Engine(params, CFG, specs, **kw)
+        eng.add_request(prompt_ids=ids, max_new_tokens=8)
+        assert eng.run()[0].tokens == ref_tokens

@@ -77,16 +77,19 @@ def test_dense_prefill_short_prompt_and_prefix(packed):
 
 
 def test_auto_policy_resolution(packed):
-    """auto -> dense only for single-chip packed engines with max_len >= 2048
-    (and a dense copy that fits the budget); small engines stay packed."""
+    """auto -> packed (round-4 measurement: dense is within noise of packed
+    once the attention kernel and transfer walls are fixed, and costs a full
+    bf16 weight copy of HBM); dense stays an explicit opt-in."""
     params, specs = packed
     small = Engine(params, CFG, specs, max_batch=1, max_len=128, buckets=(16,))
     assert small.prefill_path == "packed"
+    assert small.prefill_params is small.params
     big = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(16,))
-    assert big.prefill_path == "dense"
+    assert big.prefill_path == "packed"
 
     dense_params = phi.init_phi_params(jax.random.PRNGKey(1), CFG)
     dense_specs = phi.layer_specs(CFG)
-    eng = Engine(dense_params, CFG, dense_specs, max_batch=1, max_len=2048, buckets=(16,))
+    eng = Engine(dense_params, CFG, dense_specs, max_batch=1, max_len=2048,
+                 buckets=(16,), prefill_path="dense")
     assert eng.prefill_path == "packed"  # nothing packed to dequantize
     assert eng.prefill_params is eng.params
