@@ -105,7 +105,7 @@ def prefill_flops(cfg, t: int) -> float:
     return linears + head + attn
 
 
-def worker(path: str, prompt_len: int, max_len: int) -> None:
+def worker(path: str, prompt_len: int, max_len: int, chunk: int = 1024) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
@@ -129,8 +129,10 @@ def worker(path: str, prompt_len: int, max_len: int) -> None:
         # prefill_path pinned: "dense" makes the engine unpack once at build
         # (decode stays packed in both rows, as in production); ids admission
         # = the production text path (device-side embedding)
+        buckets = tuple(b for b in (32, 64, 128, 256, 512, 1024, 2048) if b <= chunk)
         eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
-                     cache_dtype="bf16", speculative=0, prefill_path=path)
+                     cache_dtype="bf16", speculative=0, prefill_path=path,
+                     buckets=buckets)
         # the dense path's one-time unpack runs async at engine build — force
         # it to finish so it doesn't serialize into the timed admission
         jax.block_until_ready(eng.prefill_params)
@@ -211,7 +213,8 @@ def measure(path, prompt_len, max_len, attempts=4, timeout=560):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+               int(sys.argv[5]) if len(sys.argv) > 5 else 1024)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--trace":
         trace_worker(sys.argv[2], int(sys.argv[3]),

@@ -339,6 +339,10 @@ def _chunk_prefill_pallas_small_i8(q, kq, ks, vq, vs, start, tq: int, ckv: int):
 #: T at or below this uses the all-heads-per-program small kernel
 _SMALL_T = 32
 
+#: T above this falls back from the heads-grouped kernel to the per-q-tile
+#: kernel (whole-chunk-resident tiles exceed the scoped-vmem stack)
+_HG_MAX_T = 1024
+
 
 # ---------------------------------------------------------------------------
 # Heads-grouped large-T kernel (round 4).
@@ -747,7 +751,10 @@ def chunk_prefill_attention(
             qp, k_cache, v_cache, jnp.asarray(start), _SMALL_T, ckv
         )
         return out[:, :, :t]
-    if impl == "pallas_tiled":  # round-3 per-q-tile kernel, kept for A/Bs
+    if impl == "pallas_tiled" or t > _HG_MAX_T:
+        # round-3 per-q-tile kernel: kept for A/Bs, and the fallback for
+        # t > 1024 where the hg kernel's whole-chunk tile blows the 16 MB
+        # scoped-vmem stack (measured at t=2048 even with hg=1)
         qp, t = _pad_q(q, tq)
         out = _chunk_prefill_pallas(qp, k_cache, v_cache, jnp.asarray(start), tq, ckv)
         return out[:, :, :t]
@@ -783,7 +790,7 @@ def chunk_prefill_attention_int8(
             qp, kq, ks, vq, vs, jnp.asarray(start), _SMALL_T, ckv
         )
         return out[:, :, :t]
-    if impl == "pallas_tiled":
+    if impl == "pallas_tiled" or t > _HG_MAX_T:
         qp, t = _pad_q(q, tq)
         out = _chunk_prefill_pallas_i8(qp, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)
         return out[:, :, :t]
