@@ -92,10 +92,19 @@ def worker(cache_dtype: str, max_len: int, prompt_len: int) -> None:
     emb = (jax.random.normal(jax.random.PRNGKey(1), (1, prompt_len, d)) * 0.1).astype(jnp.bfloat16)
     cdt = "int8" if cache_dtype == "int8" else jnp.bfloat16
 
+    # T-major under the serving auto policy (Engine/Decoder: max_len >= 2048,
+    # hd < 128) — these rows now measure what the default engine serves
+    from ternary_vllm_tpu.serve.decode import _transpose_cache_jit
+    from ternary_vllm_tpu.serve.engine import resolve_cache_layout
+
+    layout = resolve_cache_layout("auto", max_len, cfg.head_dim, None)
+
     def run():
         cache = phi.init_cache(cfg, 1, max_len, cdt)
         jax.block_until_ready(cache)
         logits, cache = prefill(params, cfg, specs, cache, emb)
+        if layout == "tmajor":
+            cache = _transpose_cache_jit(cache)
         first = jnp.argmax(logits[:, prompt_len - 1], axis=-1).astype(jnp.int32)
         first.block_until_ready()
         t0 = time.perf_counter()
@@ -112,7 +121,8 @@ def worker(cache_dtype: str, max_len: int, prompt_len: int) -> None:
     best = min(run()[1] for _ in range(3))
     tps = STEPS / best
     print(json.dumps({"cache": cache_dtype, "max_len": max_len,
-                      "prompt_len": prompt_len, "tps": round(tps, 1)}), flush=True)
+                      "prompt_len": prompt_len, "layout": layout,
+                      "tps": round(tps, 1)}), flush=True)
 
 
 def measure(cache_dtype, max_len, prompt_len, attempts=4, timeout=420):

@@ -34,6 +34,11 @@ def _bucket(t: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
     return t
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _transpose_cache_jit(cache):
+    return phi.transpose_cache(cache)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "specs"), donate_argnums=(3,))
 def prefill(params, config, specs, cache, inputs_embeds):
     """Run the prompt through the decoder, filling cache slots [0, T).
@@ -108,12 +113,23 @@ class Decoder:
     generate API.  ``specs`` must be hashable (tuple of dicts is not — we
     convert to a tuple of frozen tuples internally)."""
 
-    def __init__(self, params, config: phi.PhiConfig, specs, max_len: int = 2048, cache_dtype=jnp.bfloat16):
+    def __init__(self, params, config: phi.PhiConfig, specs, max_len: int = 2048,
+                 cache_dtype=jnp.bfloat16, cache_layout: str = "auto"):
+        """``cache_layout="auto"`` picks the T-major KV layout under the same
+        policy as the Engine (max_len ≥ 2048 and head_dim < 128 — row-major
+        is lane-padded to 128 in the jitted decode loop, streaming 2× the
+        logical KV bytes; docs/DESIGN.md §6 round 4): prefill runs row-major
+        and the cache transposes once before the decode loop."""
+        from ternary_vllm_tpu.serve.engine import resolve_cache_layout
+
         self.params = params
         self.config = config
         self.specs = phi.freeze_specs(specs)
         self.max_len = max_len
         self.cache_dtype = cache_dtype
+        self.cache_layout = resolve_cache_layout(
+            cache_layout, max_len, config.head_dim, None
+        )
 
     def new_cache(self, batch: int = 1):
         return phi.init_cache(self.config, batch, self.max_len, self.cache_dtype)
@@ -144,6 +160,8 @@ class Decoder:
         t0 = time.perf_counter()
         logits, cache = prefill(self.params, self.config, self.specs, cache, prompt_embeds)
         first = jnp.argmax(logits[:, t - 1], axis=-1).astype(jnp.int32)
+        if self.cache_layout == "tmajor":
+            cache = _transpose_cache_jit(cache)
         first.block_until_ready()
         t1 = time.perf_counter()
 

@@ -94,3 +94,25 @@ def test_tmajor_prefix_suffix(setup):
         return eng.run()[0].tokens
 
     assert run("tmajor") == run("rowmajor")
+
+
+def test_decoder_auto_tmajor_matches_rowmajor():
+    """The Decoder surface picks T-major under the same policy as the Engine
+    (max_len >= 2048, hd < 128) and emits identical greedy tokens — prefill
+    runs row-major, the cache transposes once before the decode loop."""
+    from ternary_vllm_tpu.serve.decode import Decoder
+
+    params = phi.init_phi_params(jax.random.PRNGKey(0), CFG)
+    specs = phi.layer_specs(CFG)
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, CFG.vocab_size, (1, 12)))
+    emb = phi.embed_tokens(params, ids)
+
+    auto = Decoder(params, CFG, specs, max_len=2048)
+    assert auto.cache_layout == "tmajor"
+    toks_t, n_t, _ = auto.generate(emb, max_new_tokens=6)
+
+    row = Decoder(params, CFG, specs, max_len=2048, cache_layout="rowmajor")
+    assert row.cache_layout == "rowmajor"
+    toks_r, n_r, _ = row.generate(emb, max_new_tokens=6)
+    assert n_t == n_r
+    np.testing.assert_array_equal(np.asarray(toks_t), np.asarray(toks_r))
