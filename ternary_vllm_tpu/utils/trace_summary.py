@@ -43,6 +43,15 @@ def hlo_op_table(logdir: str) -> List[dict]:
     )
     if isinstance(data, bytes):
         data = data.decode("utf-8", errors="replace")
+    if data is None:
+        # xprof returns None when the xplane has no device plane — on this
+        # environment that means the TPU profiler service wasn't reachable
+        # during capture (transient "No worker service stub available")
+        raise RuntimeError(
+            f"trace under {logdir} contains no device stats — the TPU "
+            "profiler service was unavailable during capture; re-run the "
+            "traced section (transient on the remote transport)"
+        )
     rec = json.loads(data)
     # gviz DataTable: {cols: [{label,...}], rows: [{c: [{v: ...}, ...]}]}
     labels = [c.get("label") or c.get("id") for c in rec["cols"]]

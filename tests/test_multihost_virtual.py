@@ -79,8 +79,10 @@ print(json.dumps({"pid": pid, "loss": loss, "out_sum": out_sum}), flush=True)
 """
 
 
-@pytest.mark.slow
-def test_two_process_hybrid_mesh_train_and_decode(tmp_path):
+def _run_two_process_leg(tmp_path):
+    """Returns per-process results, or an error string (for one retry — the
+    two-process jax.distributed handshake is racy under full-suite CPU load:
+    ephemeral-port reuse + coordinator timeouts)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -108,15 +110,26 @@ def test_two_process_hybrid_mesh_train_and_decode(tmp_path):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multihost worker timed out")
-        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+            return "multihost worker timed out"
+        if p.returncode != 0:
+            return f"worker failed:\n{err[-2000:]}"
         for line in out.strip().splitlines():
             try:
                 rec = json.loads(line)
                 results[rec["pid"]] = rec
             except json.JSONDecodeError:
                 continue
-    assert set(results) == {0, 1}, results
+    if set(results) != {0, 1}:
+        return f"missing results: {results}"
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_hybrid_mesh_train_and_decode(tmp_path):
+    results = _run_two_process_leg(tmp_path)
+    if isinstance(results, str):  # one retry on the racy distributed init
+        results = _run_two_process_leg(tmp_path)
+    assert not isinstance(results, str), results
     # single-controller-equivalent semantics: both processes computed the
     # same global loss and decode output
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
