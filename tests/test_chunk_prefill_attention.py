@@ -158,3 +158,14 @@ def test_hg_int8_matches_tiled_kernel():
         np.asarray(hg_out, np.float32), np.asarray(tiled, np.float32),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_large_t_routes_to_tiled_kernel():
+    """t > 1024 exceeds the hg kernel's scoped-vmem stack — auto/pallas must
+    route to the per-q-tile kernel and stay correct (a 2048-bucket engine
+    previously hit a compile-time VMEM OOM)."""
+    q, k, v, _ = _setup(t=1152, cap=2048)
+    start = jnp.int32(640)
+    out = chunk_prefill_attention(q, k, v, start, impl="pallas")
+    ref = _xla_fallback(q, k, v, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
