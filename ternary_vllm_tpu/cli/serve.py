@@ -39,6 +39,12 @@ def parse_args(argv=None):
                         "(int8 wins past ~1024 live tokens), else bf16")
     p.add_argument("--speculative", type=int, default=0,
                    help="n-gram speculation window k (greedy only; 0 = off)")
+    p.add_argument("--pool", default="",
+                   help="mixed-capacity EnginePool: 'SHORT_LEN,LONG_LEN"
+                        "[,SHORT_SLOTS,LONG_SLOTS]' (e.g. 2048,8448,7,1) — "
+                        "short requests stop paying long-capacity KV "
+                        "(serve/pool.py); requests route by prompt + "
+                        "max-new-tokens; every other engine flag applies")
     p.add_argument("--long-prompt", action="store_true",
                    help="long-context mesh mode (requires --tp >= 2): "
                         "sequence-sharded ring prefill over the mesh feeds "
@@ -142,6 +148,43 @@ def main(argv=None):
             phi_tp.tp_relayout_packed_params(params, config, args.tp), mesh
         )
         specs = None
+
+    if args.pool:
+        if mesh is not None:
+            raise SystemExit("--pool is single-chip (no --tp)")
+        from ternary_vllm_tpu.serve.pool import EnginePool
+
+        parts = [int(x) for x in args.pool.split(",")]
+        short_len, long_len = parts[0], parts[1]
+        short_slots = parts[2] if len(parts) > 2 else 7
+        long_slots = parts[3] if len(parts) > 3 else 1
+        pool = EnginePool(
+            params, config, specs, short_len=short_len, long_len=long_len,
+            short_slots=short_slots, long_slots=long_slots,
+            temperature=args.temperature, burst=args.burst,
+            cache_dtype=args.cache_dtype, speculative=args.speculative,
+        )
+        pooled = (phi.cache_bytes(config, short_slots, pool.short.max_len, pool.short.cache_dtype)
+                  + phi.cache_bytes(config, long_slots, pool.long.max_len, pool.long.cache_dtype))
+        uniform = phi.cache_bytes(config, short_slots + long_slots,
+                                  pool.long.max_len, pool.long.cache_dtype)
+        print(f"pool KV: {pooled / (1 << 30):.2f} GiB "
+              f"(uniform long-capacity would be {uniform / (1 << 30):.2f} GiB)")
+        routed = {"short": 0, "long": 0}
+        for _ in range(args.requests):
+            ids = rng.integers(0, config.vocab_size, (1, args.prompt_len))
+            name, _rid = pool.add_request(
+                prompt_ids=ids, max_new_tokens=args.max_new_tokens,
+                eos_id=args.eos_id,
+            )
+            routed[name] += 1
+        t0 = time.perf_counter()
+        done = pool.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.tokens) for r in done)
+        print(f"{len(done)} requests (short={routed['short']} long={routed['long']}), "
+              f"{total} tokens in {dt:.2f}s -> {total/dt:.1f} t/s aggregate")
+        return
 
     if args.requests <= 1 and mesh is None:
         from ternary_vllm_tpu.serve.decode import Decoder

@@ -577,7 +577,7 @@ class Engine:
         self.spec_retry_period = int(spec_retry_period)
         if self.spec_k and temperature != 0.0:
             raise ValueError("speculative decoding requires temperature=0 (greedy)")
-        self.buckets = tuple(b for b in buckets if b <= max_len)
+        self.buckets = tuple(b for b in buckets if b <= max_len) or (max_len,)
         if cache_dtype not in _CACHE_DTYPES and cache_dtype != "auto":
             raise ValueError(
                 f"cache_dtype must be 'auto' or one of {sorted(_CACHE_DTYPES)}"

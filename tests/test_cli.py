@@ -42,6 +42,14 @@ def test_convert_then_serve_cli(tmp_path, capsys, monkeypatch):
     stdout = capsys.readouterr().out
     assert "3 requests" in stdout
 
+    # mixed-capacity pool path (routes by worst-case live length)
+    serve_main([
+        "--artifact", out, "--prompt-len", "4", "--max-new-tokens", "4",
+        "--requests", "3", "--pool", "16,64,2,1",
+    ])
+    stdout = capsys.readouterr().out
+    assert "pool KV" in stdout and "3 requests" in stdout
+
 
 def test_convert_a8_int8head_artifact(tmp_path, capsys):
     """--a8/--int8-head survive the artifact roundtrip: specs carry a8=True,
