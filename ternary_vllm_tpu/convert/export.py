@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 from ternary_vllm_tpu.models import phi
 
+#: checkpoint metadata format.  2: dense specs' clip_val is meaningful
+#: (phi.apply_linear clips dense outputs); 1: dense clip_val was saved but
+#: ignored at runtime — migrated to None on load.
+FORMAT_VERSION = 2
+
 
 def _specs_to_json(specs) -> list:
     out = []
@@ -37,10 +42,18 @@ def _specs_to_json(specs) -> list:
     return out
 
 
-def _specs_from_json(data) -> Tuple[Dict[str, phi.LinearSpec], ...]:
-    return tuple(
-        {name: phi.LinearSpec(**kw) for name, kw in layer.items()} for layer in data
-    )
+def _specs_from_json(data, format_version: int = FORMAT_VERSION) -> Tuple[Dict[str, phi.LinearSpec], ...]:
+    def mk(kw):
+        # format 1 predates the dense branch honoring clip_val: dense specs
+        # were saved with the dataclass default clip_val=100.0 but ran
+        # unclipped.  Preserve those numerics by nulling the clip on load;
+        # format >= 2 dense specs carry an intentional clip (set by
+        # quantize.unpack_decoder_params for prefill-path parity).
+        if format_version < 2 and kw.get("kind", "dense") == "dense":
+            kw = dict(kw, clip_val=None)
+        return phi.LinearSpec(**kw)
+
+    return tuple({name: mk(kw) for name, kw in layer.items()} for layer in data)
 
 
 def save_checkpoint(path: str, params, config: phi.PhiConfig, specs) -> None:
@@ -57,7 +70,7 @@ def save_checkpoint(path: str, params, config: phi.PhiConfig, specs) -> None:
     meta = {
         "config": dataclasses.asdict(config),
         "specs": _specs_to_json(specs),
-        "format_version": 1,
+        "format_version": FORMAT_VERSION,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -71,7 +84,7 @@ def load_checkpoint(path: str):
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     config = phi.PhiConfig(**meta["config"])
-    specs = _specs_from_json(meta["specs"])
+    specs = _specs_from_json(meta["specs"], meta.get("format_version", 1))
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(os.path.join(path, "params"))
     return params, config, specs

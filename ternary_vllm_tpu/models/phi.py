@@ -59,6 +59,13 @@ class PhiConfig:
     def rotary_dim(self) -> int:
         return int(self.partial_rotary_factor * self.head_dim)
 
+    @property
+    def qkv_dim(self) -> int:
+        """Wqkv output width: h query heads + 2·kvh key/value heads (GQA:
+        ``num_key_value_heads < num_attention_heads`` shrinks the K/V thirds;
+        equals ``3 * hidden_size`` for MHA)."""
+        return (self.num_attention_heads + 2 * self.num_key_value_heads) * self.head_dim
+
 
 MOONDREAM_PHI_CONFIG = PhiConfig()
 
@@ -84,6 +91,11 @@ class LinearSpec:
     impl: str = "auto"  # kernel dispatch for packed
     fmt: str = "q2"  # packed storage: q2 (bit-planes) | q4 (nibble int4)
     a8: bool = False  # packed only: int8-quantized activations (w2a8 kernel)
+    # fused out2 specs only: packed-row count of the first stacked block
+    # (out_proj).  pack_decoder_params pads K to k_multiple before packing, so
+    # the split point cannot be derived from the logical K alone; it is
+    # recorded at fuse time (quant/quantize.fuse_packed_decoder_params).
+    rows1: Optional[int] = None
 
     def __post_init__(self):
         if self.kind not in ("dense", "qat", "packed"):
@@ -169,7 +181,7 @@ def init_phi_params(key, config: PhiConfig, dtype=jnp.float32) -> Dict[str, Any]
         layers.append(
             {
                 "ln": _init_ln(d, dtype),
-                "wqkv": _init_linear(k1, d, 3 * d, dtype),
+                "wqkv": _init_linear(k1, d, config.qkv_dim, dtype),
                 "out_proj": _init_linear(k2, d, d, dtype),
                 "fc1": _init_linear(k3, d, f, dtype),
                 "fc2": _init_linear(k4, f, d, dtype),
@@ -439,16 +451,20 @@ def _decoder_layer(
             bias=p["in_proj"]["b"],
             clip_val=spec["in_proj"].clip_val,
             act=config.hidden_act,
-            act_split=3 * d,
+            act_split=config.qkv_dim,
             impl=spec["in_proj"].impl,
             a8=spec["in_proj"].a8,
             ln=(p["ln"]["scale"], p["ln"]["bias"]),
             ln_eps=config.layer_norm_eps,
         )
-        qkv, mlp_hidden = both[..., : 3 * d], both[..., 3 * d :]
+        qkv, mlp_hidden = both[..., : config.qkv_dim], both[..., config.qkv_dim :]
     else:
         qkv = apply_linear(spec["wqkv"], p["wqkv"], hidden)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # GQA split: h query heads then kvh K heads then kvh V heads
+    qd, kvd = h * hd, kvh * hd
+    q = qkv[..., :qd]
+    k = qkv[..., qd : qd + kvd]
+    v = qkv[..., qd + kvd :]
     q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
@@ -499,7 +515,7 @@ def _decoder_layer(
             o2_mode = spec["out2"].mode
             combined = dual_ternary_matmul(
                 attn, mlp_hidden, o2["packed"],
-                d // (4 if o2_mode == "ternary" else 8),
+                spec["out2"].rows1 or d // (4 if o2_mode == "ternary" else 8),
                 o2["scale1"], o2["b1"], o2["scale2"], o2["b2"],
                 clip_val=spec["out2"].clip_val, impl=spec["out2"].impl,
                 a8=spec["out2"].a8, residual=x, mode=o2_mode,
@@ -510,12 +526,12 @@ def _decoder_layer(
         mlp = apply_linear(spec["fc2"], p["fc2"], mlp)
         return attn + mlp + x, new_kv
 
-    if kv is not None and cache_layout(kv, config) == "tmajor":
+    tmajor = kv is not None and cache_layout(kv, config) == "tmajor"
+    if tmajor and t > 32:
         raise NotImplementedError(
-            "T-major KV caches support only the single-token fused decode "
-            "path (t == 1 under USE_FUSED_DECODE_ATTENTION); prefill / "
-            "multi-token verify windows must run on a row-major cache and "
-            "convert via phi.transpose_cache"
+            "T-major KV caches support single-token decode and small verify "
+            f"windows (t <= 32), got t={t}; prefill must run on a row-major "
+            "cache and convert via phi.transpose_cache"
         )
 
     q, k = apply_rotary(q, k, cos, sin, config.rotary_dim)
@@ -531,9 +547,14 @@ def _decoder_layer(
         if _is_vector_pos(pos):
             # per-sequence positions (continuous batching): scatter each row
             def write(c, u, p):
+                u = u.astype(c.dtype)
+                if tmajor:  # new rows land as COLUMNS of the (KVH, hd, C) cache
+                    return jax.vmap(
+                        lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, 0, pp))
+                    )(c, u.transpose(0, 1, 3, 2), p)
                 return jax.vmap(
                     lambda cc, uu, pp: jax.lax.dynamic_update_slice(cc, uu, (0, pp, 0))
-                )(c, u.astype(c.dtype), p)
+                )(c, u, p)
 
             def write_scale(c, u, p):  # scales are lane-major (B, KVH, 1, T)
                 return jax.vmap(
@@ -541,7 +562,12 @@ def _decoder_layer(
                 )(c, u.astype(c.dtype), p)
         else:
             def write(c, u, p=pos):
-                return jax.lax.dynamic_update_slice(c, u.astype(c.dtype), (0, 0, p, 0))
+                u = u.astype(c.dtype)
+                if tmajor:
+                    return jax.lax.dynamic_update_slice(
+                        c, u.transpose(0, 1, 3, 2), (0, 0, 0, p)
+                    )
+                return jax.lax.dynamic_update_slice(c, u, (0, 0, p, 0))
 
             def write_scale(c, u, p=pos):
                 return jax.lax.dynamic_update_slice(c, u.astype(c.dtype), (0, 0, 0, p))
@@ -557,8 +583,9 @@ def _decoder_layer(
                 ck, cks = write(ck, kq), write_scale(cks, ks)
                 cv, cvs = write(cv, vq), write_scale(cvs, vs)
             new_kv = (ck, cks, cv, cvs)
-            k_full = _dequantize_kv(ck, cks, x.dtype)
-            v_full = _dequantize_kv(cv, cvs, x.dtype)
+            if not tmajor:
+                k_full = _dequantize_kv(ck, cks, x.dtype)
+                v_full = _dequantize_kv(cv, cvs, x.dtype)
         else:
             ck, cv = kv
             if _is_vector_pos(pos):
@@ -566,12 +593,26 @@ def _decoder_layer(
             else:
                 ck, cv = write(ck, k), write(cv, v)
             new_kv = (ck, cv)
-            k_full, v_full = ck.astype(x.dtype), cv.astype(x.dtype)
+            if not tmajor:
+                k_full, v_full = ck.astype(x.dtype), cv.astype(x.dtype)
     else:
         new_kv = None
         k_full, v_full = k, v
 
-    if new_kv is not None and t == 1:
+    if new_kv is not None and tmajor:
+        # T-major cached attention (speculative k+1 verify windows, unfused
+        # single-token decode): the cache is K-transposed, the small-T chunk
+        # kernel contracts it directly (ops/chunk_prefill_attention)
+        from ternary_vllm_tpu.ops.chunk_prefill_attention import (
+            chunk_prefill_attention_tmajor,
+            chunk_prefill_attention_tmajor_int8,
+        )
+
+        if len(new_kv) == 4:
+            attn = chunk_prefill_attention_tmajor_int8(q, *new_kv, pos)
+        else:
+            attn = chunk_prefill_attention_tmajor(q, new_kv[0], new_kv[1], pos)
+    elif new_kv is not None and t == 1:
         # fused length-aware decode attention: HBM reads bounded by the live
         # sequence length, not cache capacity (ops/decode_attention.py)
         from ternary_vllm_tpu.ops.decode_attention import (
@@ -628,7 +669,7 @@ def _decoder_layer(
             attn,
             mlp_hidden,
             o2["packed"],
-            d // (4 if o2_mode == "ternary" else 8),
+            spec["out2"].rows1 or d // (4 if o2_mode == "ternary" else 8),
             o2["scale1"],
             o2["b1"],
             o2["scale2"],

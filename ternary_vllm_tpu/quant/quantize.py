@@ -246,7 +246,13 @@ def fuse_packed_decoder_params(params, specs):
         fused_spec = LinearSpec(
             kind="packed", mode=spec[QUANT_LINEARS[0]].mode, clip_val=clip, a8=a8_all
         )
-        new_specs.append({"in_proj": fused_spec, "out2": fused_spec})
+        # Record the out_proj/fc2 split point: pack_decoder_params pads K to
+        # k_multiple (default 512) BEFORE packing, so the split cannot be
+        # recomputed from the logical hidden size alone (unfuse would
+        # misalign for any config whose hidden/intermediate size is not a
+        # k_multiple multiple).
+        out2_spec = dataclasses.replace(fused_spec, rows1=int(out_p["packed"].shape[0]))
+        new_specs.append({"in_proj": fused_spec, "out2": out2_spec})
     out = dict(params)
     out["layers"] = new_layers
     return out, tuple(new_specs)
@@ -276,6 +282,28 @@ def _packed_rows(spec: LinearSpec, k: int) -> int:
     return packed_binary_shape(k, 1)[0]
 
 
+def _out2_rows1(s_o2: LinearSpec, o2_packed, d: int, f: int) -> int:
+    """Split point of a fused out2 packed block ([out_proj ; fc2] along S).
+
+    Prefers the ``rows1`` recorded at fuse time (exact even when
+    pack_decoder_params padded K to k_multiple).  Legacy specs without it can
+    only be split when no k_multiple padding happened — validated against the
+    total packed rows, with a clear error otherwise."""
+    if s_o2.rows1 is not None:
+        return s_o2.rows1
+    rows1 = _packed_rows(s_o2, d)
+    expect = rows1 + _packed_rows(s_o2, f)
+    if o2_packed.shape[0] != expect:
+        raise ValueError(
+            f"fused out2 packed block has {o2_packed.shape[0]} rows but the "
+            f"unpadded split expects {expect} (d={d}, f={f}): the weights were "
+            "packed with k_multiple padding and the spec predates "
+            "LinearSpec.rows1 — re-fuse with fuse_packed_decoder_params to "
+            "record the split point."
+        )
+    return rows1
+
+
 def unfuse_packed_decoder_params(params, specs, config: Optional[PhiConfig] = None):
     """Inverse of :func:`fuse_packed_decoder_params`: split each fused layer's
     ``in_proj``/``out2`` packed blocks back into the four unfused packed
@@ -287,7 +315,7 @@ def unfuse_packed_decoder_params(params, specs, config: Optional[PhiConfig] = No
     relayouting at the prefill boundary instead of requiring callers to keep
     a second unfused copy."""
     cfg = config if config is not None else PhiConfig()
-    d, f = cfg.hidden_size, cfg.intermediate_size
+    d, f, qkvd = cfg.hidden_size, cfg.intermediate_size, cfg.qkv_dim
     new_layers, new_specs = [], []
     for layer, spec in zip(params["layers"], specs):
         if "in_proj" not in spec:
@@ -296,19 +324,19 @@ def unfuse_packed_decoder_params(params, specs, config: Optional[PhiConfig] = No
             continue
         s_in, s_o2 = spec["in_proj"], spec["out2"]
         ip, o2 = layer["in_proj"], layer["out2"]
-        rows1 = _packed_rows(s_o2, d)
+        rows1 = _out2_rows1(s_o2, o2["packed"], d, f)
         new_layers.append(
             {
                 "ln": layer["ln"],
                 "wqkv": {
-                    "packed": ip["packed"][:, : 3 * d],
-                    "scale": ip["scale"][: 3 * d],
-                    "b": ip["b"][: 3 * d],
+                    "packed": ip["packed"][:, :qkvd],
+                    "scale": ip["scale"][:qkvd],
+                    "b": ip["b"][:qkvd],
                 },
                 "fc1": {
-                    "packed": ip["packed"][:, 3 * d :],
-                    "scale": ip["scale"][3 * d :],
-                    "b": ip["b"][3 * d :],
+                    "packed": ip["packed"][:, qkvd:],
+                    "scale": ip["scale"][qkvd:],
+                    "b": ip["b"][qkvd:],
                 },
                 "out_proj": {
                     "packed": o2["packed"][:rows1],
@@ -360,12 +388,13 @@ def unpack_decoder_params(params, specs, config: Optional[PhiConfig] = None, dty
             scale = ip["scale"].astype(jnp.float32)
             wfull = both * scale[None, :]
             bias = ip["b"]
-            rows1 = _packed_rows(s_o2, d)
+            rows1 = _out2_rows1(s_o2, o2["packed"], d, f)
             w_out = _unpack_w(o2["packed"][:rows1], s_o2, d, jnp.float32)
             w_fc2 = _unpack_w(o2["packed"][rows1:], s_o2, f, jnp.float32)
+            qkvd = cfg.qkv_dim
             parts = {
-                "wqkv": (wfull[:, : 3 * d].astype(dtype), bias[: 3 * d]),
-                "fc1": (wfull[:, 3 * d :].astype(dtype), bias[3 * d :]),
+                "wqkv": (wfull[:, :qkvd].astype(dtype), bias[:qkvd]),
+                "fc1": (wfull[:, qkvd:].astype(dtype), bias[qkvd:]),
                 "out_proj": ((w_out * o2["scale1"].astype(jnp.float32)[None, :]).astype(dtype), o2["b1"]),
                 "fc2": ((w_fc2 * o2["scale2"].astype(jnp.float32)[None, :]).astype(dtype), o2["b2"]),
             }

@@ -69,3 +69,44 @@ def test_exported_signatures_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-5
     )
+
+
+def test_v1_checkpoint_dense_clip_migrated(tmp_path):
+    """format_version-1 checkpoints saved dense specs with the dataclass
+    default clip_val=100.0 but ran unclipped; loading must null the clip so
+    numerics are preserved (ADVICE r4)."""
+    import json
+    import os
+
+    from ternary_vllm_tpu.models import phi
+    from ternary_vllm_tpu.convert import export
+
+    cfg = phi.TINY_PHI_CONFIG
+    params = phi.init_phi_params(jax.random.PRNGKey(0), cfg)
+    specs = phi.layer_specs(cfg)  # dense default: clip_val None via DENSE? ensure some dense
+    path = str(tmp_path / "v1ckpt")
+    export.save_checkpoint(path, params, cfg, specs)
+    # rewrite the sidecar as a v1 artifact with the old buggy dense clip
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    meta["format_version"] = 1
+    for layer in meta["specs"]:
+        for kw in layer.values():
+            if kw["kind"] == "dense":
+                kw["clip_val"] = 100.0
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    _, _, loaded_specs = export.load_checkpoint(path)
+    for layer in loaded_specs:
+        for s in layer.values():
+            if s.kind == "dense":
+                assert s.clip_val is None
+    # v2 artifacts preserve an intentional dense clip
+    specs2 = tuple(
+        {n: phi.LinearSpec(kind="dense", clip_val=7.5) for n in layer}
+        for layer in export._specs_from_json(meta["specs"], 2)
+    )
+    path2 = str(tmp_path / "v2ckpt")
+    export.save_checkpoint(path2, params, cfg, specs2)
+    _, _, loaded2 = export.load_checkpoint(path2)
+    assert all(s.clip_val == 7.5 for layer in loaded2 for s in layer.values())
