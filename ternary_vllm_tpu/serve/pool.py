@@ -92,14 +92,14 @@ class EnginePool:
         sid = lid = None
         if prefix_id is not None:
             sid, lid, plen = self._prefixes[prefix_id]
-        need = plen + t + max_new_tokens + 1
-        if need <= self.short.max_len:
+        if self._fits(self.short, sid, plen, t, max_new_tokens):
             eng, pid, name = self.short, sid, "short"
-        elif need <= self.long.max_len:
+        elif self._fits(self.long, lid, plen, t, max_new_tokens):
             eng, pid, name = self.long, lid, "long"
         else:
             raise ValueError(
-                f"request needs {need} cache slots, long_len={self.long.max_len}"
+                f"request (prefix {plen} + prompt {t} + {max_new_tokens} new) "
+                f"does not fit either class (long_len={self.long.max_len})"
             )
         rid = eng.add_request(
             prompt_embeds, max_new_tokens=max_new_tokens, eos_id=eos_id,
@@ -107,8 +107,31 @@ class EnginePool:
         )
         return name, rid
 
+    def _fits(self, eng: Engine, pid: Optional[int], plen: int, t: int, max_new: int) -> bool:
+        """Admission-accurate capacity check: mirrors the PADDED sizes the
+        engine itself validates (raw-length routing could send a request
+        'short' and then die in ``_admit``: prefix BUCKET + suffix bucket is
+        what the bucketed path checks, and a prefix may not be registered on
+        the short class at all)."""
+        if plen > 0 and pid is None:  # prefix not registered on this engine
+            return False
+        if plen + t + max_new + 1 > eng.max_len:
+            return False
+        if t <= eng.buckets[-1] and plen > 0:
+            pbucket = eng._prefixes[pid][2]
+            if pbucket + eng._bucket(t) > eng.max_len:
+                return False
+        return True
+
     def register_prefix(self, prefix_embeds) -> int:
-        sid = self.short.register_prefix(prefix_embeds)
+        """Register on both classes when the prefix fits the short engine's
+        buckets; a long-only prefix stores ``sid=None`` and its requests
+        route to the long class (ADVICE r4: a prefix beyond the short
+        engine's largest bucket must not crash pool registration)."""
+        try:
+            sid = self.short.register_prefix(prefix_embeds)
+        except ValueError:
+            sid = None
         lid = self.long.register_prefix(prefix_embeds)
         pid = self._next_prefix
         self._next_prefix += 1
@@ -117,7 +140,8 @@ class EnginePool:
 
     def drop_prefix(self, prefix_id: int) -> None:
         sid, lid, _ = self._prefixes.pop(prefix_id)
-        self.short.drop_prefix(sid)
+        if sid is not None:
+            self.short.drop_prefix(sid)
         self.long.drop_prefix(lid)
 
     def _busy(self, eng: Engine) -> bool:

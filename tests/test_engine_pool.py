@@ -83,5 +83,40 @@ def test_pool_rejects_oversized(setup):
     params, specs = setup
     pool = EnginePool(params, CFG, specs, short_len=64, long_len=128,
                       short_slots=1, long_slots=1, buckets=(16,), speculative=0)
-    with pytest.raises(ValueError, match="cache slots"):
+    with pytest.raises(ValueError, match="does not fit"):
         pool.add_request(_emb(params, 100), max_new_tokens=64)
+
+
+def test_pool_long_only_prefix(setup):
+    """A prefix past the short engine's CAPACITY registers long-only
+    (ADVICE r4) and its requests route to the long class.  (Prefixes past
+    the largest bucket but within capacity now chunk-register fine.)"""
+    params, specs = setup
+    kw = dict(buckets=(16,), cache_dtype="bf16", speculative=0)
+    pool = EnginePool(params, CFG, specs, short_len=32, long_len=256,
+                      short_slots=2, long_slots=1, **kw)
+    prefix = _emb(params, 40, seed=11)  # needs 41 slots > short capacity 32
+    pid = pool.register_prefix(prefix)
+    assert pool._prefixes[pid][0] is None  # not on the short class
+    name, _ = pool.add_request(_emb(params, 8, seed=12), max_new_tokens=4, prefix_id=pid)
+    assert name == "long"
+    done = pool.run()
+    assert len(done) == 1 and len(done[0].tokens) == 4
+    pool.drop_prefix(pid)  # must not raise on the short-side None id
+
+
+def test_pool_boundary_routes_by_padded_sizes(setup):
+    """A request whose RAW lengths fit the short class but whose prefix
+    bucket + suffix bucket exceed it must route long instead of dying in
+    _admit (ADVICE r4)."""
+    params, specs = setup
+    kw = dict(buckets=(16,), cache_dtype="bf16", speculative=0)
+    pool = EnginePool(params, CFG, specs, short_len=24, long_len=256,
+                      short_slots=2, long_slots=1, **kw)
+    prefix = _emb(params, 9, seed=13)   # bucket 16
+    pid = pool.register_prefix(prefix)
+    # raw: 9 + 4 + 4 + 1 = 18 <= 24, padded: bucket(9)=16 + bucket(4)=16 > 24
+    name, _ = pool.add_request(_emb(params, 4, seed=14), max_new_tokens=4, prefix_id=pid)
+    assert name == "long"
+    done = pool.run()
+    assert len(done) == 1 and len(done[0].tokens) == 4
