@@ -52,25 +52,34 @@ from ternary_vllm_tpu.parallel.tp import pack_ternary_sharded
 # ---------------------------------------------------------------------------
 
 
-def _regroup_qkv_columns(arr, d: int, tp: int, axis: int):
-    """[q|k|v] feature order -> [q_0|k_0|v_0 | q_1|k_1|v_1 | ...] per shard."""
-    per = d // tp
-    sections = [jnp.take(arr, jnp.arange(s * d, (s + 1) * d), axis=axis) for s in range(3)]
+def _regroup_qkv_columns(arr, widths, tp: int, axis: int):
+    """[q|k|v] feature order -> [q_0|k_0|v_0 | q_1|k_1|v_1 | ...] per shard.
+
+    ``widths``: (q_width, k_width, v_width) — equal for MHA, smaller K/V
+    thirds under GQA (head-sharded: shard s gets heads block s of each
+    section, so each must divide evenly by tp)."""
+    offs = [0]
+    for w in widths:
+        offs.append(offs[-1] + w)
+    sections = [
+        jnp.take(arr, jnp.arange(offs[i], offs[i + 1]), axis=axis) for i in range(3)
+    ]
     blocks = []
     for dshard in range(tp):
-        for sec in sections:
+        for sec, w in zip(sections, widths):
+            per = w // tp
             blocks.append(
                 jnp.take(sec, jnp.arange(dshard * per, (dshard + 1) * per), axis=axis)
             )
     return jnp.concatenate(blocks, axis=axis)
 
 
-def _group_in_proj(wqkv_cols, fc1_cols, d: int, f: int, tp: int, axis: int):
+def _group_in_proj(wqkv_cols, fc1_cols, widths, f: int, tp: int, axis: int):
     """Interleave per-shard column blocks: shard s gets
     ``[qkv-regrouped block s | fc1 block s]`` so the global concat splits
     evenly into self-contained fused blocks under N-sharding."""
-    qkv_re = _regroup_qkv_columns(wqkv_cols, d, tp, axis)
-    dl3, fl = 3 * d // tp, f // tp
+    qkv_re = _regroup_qkv_columns(wqkv_cols, widths, tp, axis)
+    dl3, fl = sum(widths) // tp, f // tp
     blocks = []
     for s in range(tp):
         blocks.append(jnp.take(qkv_re, jnp.arange(s * dl3, (s + 1) * dl3), axis=axis))
@@ -94,8 +103,13 @@ def tp_relayout_packed_params(
 
     Returns a pytree whose buffers are GLOBAL arrays that become correct local
     blocks under :func:`tp_param_specs`' equal-split shardings."""
-    if config.num_key_value_heads != config.num_attention_heads:
-        raise NotImplementedError("TP regroup assumes fused [q|k|v] of equal width")
+    h, kvh, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    if h % tp or kvh % tp:
+        raise ValueError(
+            f"TP head sharding needs heads % tp == 0 and kv_heads % tp == 0, "
+            f"got h={h}, kvh={kvh}, tp={tp}"
+        )
+    qkv_widths = (h * hd, kvh * hd, kvh * hd)
     d, f = config.hidden_size, config.intermediate_size
     layers = []
     for layer in packed_params["layers"]:
@@ -111,9 +125,9 @@ def tp_relayout_packed_params(
                 "ln": layer["ln"],
                 "in_proj": {
                     # packed buffers are packed along K; columns (N) permute freely
-                    "packed": _group_in_proj(wqkv["packed"], fc1["packed"], d, f, tp, 1),
-                    "scale": _group_in_proj(wqkv["scale"], fc1["scale"], d, f, tp, 0),
-                    "b": _group_in_proj(wqkv["b"], fc1["b"], d, f, tp, 0),
+                    "packed": _group_in_proj(wqkv["packed"], fc1["packed"], qkv_widths, f, tp, 1),
+                    "scale": _group_in_proj(wqkv["scale"], fc1["scale"], qkv_widths, f, tp, 0),
+                    "b": _group_in_proj(wqkv["b"], fc1["b"], qkv_widths, f, tp, 0),
                 },
                 "out_proj": {
                     "packed": _repack_rows_sharded(outp["packed"], d, tp),
@@ -232,7 +246,8 @@ def _tp_layer(p, config, x, cos, sin, kv, pos, tp, clip_val, axis, a8):
     h_loc = config.num_attention_heads // tp
     kvh_loc = config.num_key_value_heads // tp
     dl = h_loc * hd
-    dl3 = 3 * dl
+    kvdl = kvh_loc * hd
+    dl3 = dl + 2 * kvdl  # GQA: K/V thirds are kvh_loc heads wide
 
     both = quantized_matmul(
         x, p["in_proj"]["packed"], mode="ternary",
@@ -242,8 +257,8 @@ def _tp_layer(p, config, x, cos, sin, kv, pos, tp, clip_val, axis, a8):
     )
     qkv, mlp_hidden = both[..., :dl3], both[..., dl3:]
     q = qkv[..., :dl].reshape(b, t, h_loc, hd).transpose(0, 2, 1, 3)
-    k = qkv[..., dl : 2 * dl].reshape(b, t, kvh_loc, hd).transpose(0, 2, 1, 3)
-    v = qkv[..., 2 * dl :].reshape(b, t, kvh_loc, hd).transpose(0, 2, 1, 3)
+    k = qkv[..., dl : dl + kvdl].reshape(b, t, kvh_loc, hd).transpose(0, 2, 1, 3)
+    v = qkv[..., dl + kvdl :].reshape(b, t, kvh_loc, hd).transpose(0, 2, 1, 3)
 
     rd = config.rotary_dim
     if kv is not None and t == 1:

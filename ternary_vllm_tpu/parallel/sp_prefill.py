@@ -124,7 +124,9 @@ def sp_prefill(
         for p, spec in zip(params["layers"], spec_dicts):
             hidden = phi._layer_norm(p["ln"], x, config.layer_norm_eps)
             qkv = phi.apply_linear(spec["wqkv"], p["wqkv"], hidden)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            # GQA split: h query heads, then kvh K heads, then kvh V heads
+            qd, kvd = h * hd, kvh * hd
+            q, k, v = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
             q = q.reshape(b, t_loc, h, hd).transpose(0, 2, 1, 3)
             k = k.reshape(b, t_loc, kvh, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, t_loc, kvh, hd).transpose(0, 2, 1, 3)

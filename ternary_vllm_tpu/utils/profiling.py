@@ -86,7 +86,7 @@ def decode_step_bytes(
 
     Weight streaming dominates batch-1 decode; activations are negligible."""
     d, f, v = config.hidden_size, config.intermediate_size, config.vocab_size
-    layer_params = d * 3 * d + d * d + d * f + f * d
+    layer_params = d * config.qkv_dim + d * d + d * f + f * d
     wbits = {"ternary": 2, "binary": 1, "bf16": 16, "int8": 8}[weights]
     layer_bytes = layer_params * wbits / 8
     decoder_bytes = layer_bytes * config.num_hidden_layers
@@ -111,6 +111,6 @@ def decode_step_bytes(
 
 def decode_step_flops(config: PhiConfig, batch: int = 1, cache_len: int = 1024) -> float:
     d, f, v = config.hidden_size, config.intermediate_size, config.vocab_size
-    layer = 2 * batch * (d * 3 * d + d * d + d * f + f * d)
+    layer = 2 * batch * (d * config.qkv_dim + d * d + d * f + f * d)
     attn = 2 * batch * config.num_attention_heads * cache_len * config.head_dim * 2
     return (layer + attn) * config.num_hidden_layers + 2 * batch * d * v

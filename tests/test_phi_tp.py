@@ -33,7 +33,7 @@ def setup():
 def test_qkv_regroup_roundtrip():
     d, tp = 8, 2
     arr = jnp.arange(3 * d)[None, :] * jnp.ones((4, 1))
-    out = np.asarray(phi_tp._regroup_qkv_columns(arr, d, tp, 1))[0]
+    out = np.asarray(phi_tp._regroup_qkv_columns(arr, (d, d, d), tp, 1))[0]
     # shard 0 gets q[0:4], k[0:4], v[0:4] == cols 0-3, 8-11, 16-19
     np.testing.assert_array_equal(out[:12], [0, 1, 2, 3, 8, 9, 10, 11, 16, 17, 18, 19])
 
@@ -43,7 +43,7 @@ def test_in_proj_grouping():
     d, f, tp = 8, 16, 2
     qkv = jnp.arange(3 * d, dtype=jnp.float32)
     fc1 = 100 + jnp.arange(f, dtype=jnp.float32)
-    out = np.asarray(phi_tp._group_in_proj(qkv, fc1, d, f, tp, 0))
+    out = np.asarray(phi_tp._group_in_proj(qkv, fc1, (d, d, d), f, tp, 0))
     width = (3 * d + f) // tp
     shard0 = out[:width]
     np.testing.assert_array_equal(
