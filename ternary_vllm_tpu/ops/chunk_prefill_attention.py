@@ -336,6 +336,191 @@ def _chunk_prefill_pallas_small_i8(q, kq, ks, vq, vs, start, tq: int, ckv: int):
     return out.reshape(b, h, t, hd)
 
 
+def _small_kernel_tmajor(
+    start_ref, q_ref, kt_ref, vt_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, tq, ckv, groups, scale,
+):
+    """T-major-cache small-T variant (speculative k+1 verify windows on
+    long-context engines; round-4 VERDICT weak #4 — T-major used to support
+    single-token decode only).  The cache IS K-transposed ``(KVH, hd, C)``,
+    so QK^T contracts hd on axis 1 directly and PV contracts the chunk on
+    V's axis 2 — no in-kernel transpose, same bytes as row-major."""
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    start = start_ref[bi]
+    last = (start + tq - 1) // ckv
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        kvh, hd = kt_ref.shape[1], kt_ref.shape[2]
+        rows = groups * tq
+        q = q_ref[0].reshape(kvh, rows, hd)
+        k_t = kt_ref[0].astype(q.dtype)  # (kvh, hd, ckv)
+        logits = jax.lax.dot_general(
+            q, k_t, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # (kvh, rows, ckv)
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 1) % tq
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 2) + c * ckv
+        logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+        logits2 = logits.reshape(kvh * rows, ckv)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.reshape(kvh, rows, ckv).astype(vt_ref.dtype), vt_ref[0],
+            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ).reshape(kvh * rows, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        kvh, hd = kt_ref.shape[1], kt_ref.shape[2]
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(kvh, groups, tq, hd).astype(o_ref.dtype)
+
+
+def _small_kernel_tmajor_i8(
+    start_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, tq, ckv, groups, scale,
+):
+    """int8 T-major small-T variant: codes are T-major, scales stay
+    lane-major (B, KVH, 1, C) in both layouts."""
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    start = start_ref[bi]
+    last = (start + tq - 1) // ckv
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= last)
+    def _():
+        kvh, hd = kq_ref.shape[1], kq_ref.shape[2]
+        rows = groups * tq
+        q = q_ref[0].reshape(kvh, rows, hd)
+        k_t = kq_ref[0].astype(q.dtype)  # (kvh, hd, ckv) int8 codes
+        logits = jax.lax.dot_general(
+            q, k_t, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        logits = logits * ks_ref[0].astype(jnp.float32) * scale  # (kvh,1,ckv) bcast
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 1) % tq
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, rows, ckv), 2) + c * ckv
+        logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+        logits2 = logits.reshape(kvh * rows, ckv)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        ps = p.reshape(kvh, rows, ckv) * vs_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            ps.astype(q.dtype), vq_ref[0].astype(q.dtype),
+            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ).reshape(kvh * rows, hd)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(1) - 1))
+    def _():
+        kvh, hd = kq_ref.shape[1], kq_ref.shape[2]
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(kvh, groups, tq, hd).astype(o_ref.dtype)
+
+
+def _small_grid_spec_tmajor(b, kvh, groups, c_cap, hd, tq, ckv, int8):
+    n_c = c_cap // ckv
+
+    def q_map(bi, c, start):
+        return (bi, 0, 0, 0, 0)
+
+    def kv_map(bi, c, start):
+        last = (start[bi] + tq - 1) // ckv
+        return (bi, 0, 0, jnp.minimum(c, last))
+
+    def scale_map(bi, c, start):
+        last = (start[bi] + tq - 1) // ckv
+        return (bi, 0, 0, jnp.minimum(c, last))
+
+    kv_spec = pl.BlockSpec((1, kvh, hd, ckv), kv_map, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, kvh, groups, tq, hd), q_map, memory_space=pltpu.VMEM)
+    if int8:
+        sc_spec = pl.BlockSpec((1, kvh, 1, ckv), scale_map, memory_space=pltpu.VMEM)
+        in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_c),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((kvh * groups * tq, 1), jnp.float32),
+            pltpu.VMEM((kvh * groups * tq, 1), jnp.float32),
+            pltpu.VMEM((kvh * groups * tq, hd), jnp.float32),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "ckv"))
+def _chunk_prefill_pallas_small_tmajor(q, k_t, v_t, start, tq: int, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = k_t.shape[1], k_t.shape[3]
+    groups = h // kvh
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _small_grid_spec_tmajor(b, kvh, groups, c_cap, hd, tq, ckv, int8=False)
+    kernel = functools.partial(
+        _small_kernel_tmajor, tq=tq, ckv=ckv, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, k_t, v_t)
+    return out.reshape(b, h, t, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "ckv"))
+def _chunk_prefill_pallas_small_tmajor_i8(q, kq, ks, vq, vs, start, tq: int, ckv: int):
+    b, h, t, hd = q.shape
+    kvh, c_cap = kq.shape[1], kq.shape[3]
+    groups = h // kvh
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _small_grid_spec_tmajor(b, kvh, groups, c_cap, hd, tq, ckv, int8=True)
+    kernel = functools.partial(
+        _small_kernel_tmajor_i8, tq=tq, ckv=ckv, groups=groups, scale=1.0 / math.sqrt(hd)
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, kq, ks, vq, vs)
+    return out.reshape(b, h, t, hd)
+
+
 #: T at or below this uses the all-heads-per-program small kernel
 _SMALL_T = 32
 
@@ -484,6 +669,313 @@ def _kernel_hg_i8(
         o_ref[0] = out.reshape(hg, groups, t, hd).astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v3 (round 5): heads-grouped kernel with an IN-KERNEL q-tile loop.
+#
+# The round-4 hg kernel materializes (hg, groups*t, ckv) f32 logits per
+# branch; at t=2048 even hg=1 busts the 16 MB scoped-vmem stack (DESIGN.md
+# §6 round-4 prefill study), capping the admission chunk at 1024 and the
+# head group at 2-4.  v3 keeps the same grid (B, KVH/hg, C/ckv) and the
+# whole chunk's queries + softmax state resident, but walks the chunk in
+# ``tq``-row tiles inside the kernel: per-branch intermediates shrink from
+# r×ckv to (groups·tq)×ckv, so t=2048 compiles and hg can grow (fewer KV
+# re-streams per layer-chunk).  The mask-skip branch is per TILE — late
+# tiles of a chunk keep the VPU mask passes only where the causal frontier
+# actually crosses.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_hg_v3(
+    start_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, t, ckv, hg, groups, tq, scale,
+):
+    bi = pl.program_id(0)
+    c = pl.program_id(2)
+    start = start_ref[bi]
+    last = (start + t - 1) // ckv
+    hd = q_ref.shape[-1]
+    hgg = hg * groups
+    n_tiles = t // tq
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for ti in range(n_tiles):
+        ts = ti * tq
+        rt = groups * tq
+        # visible to the tile's FIRST row (iq = ts) => visible to all its rows
+        tile_vis = (c + 1) * ckv - 1 <= start + ts
+        # any element visible: chunk start precedes the tile's LAST position
+        tile_live = (c * ckv <= start + ts + tq - 1) & (c <= last)
+
+        def _upd(masked: bool, ti=ti, ts=ts, rt=rt):
+            # per-tile scratch SLAB (leading static index — no lane/sublane
+            # shape casts, which Mosaic rejects for (hgg, tq) <-> (hgg*tq, 1))
+            qt = q_ref[0, :, :, ts : ts + tq, :].reshape(hg, rt, hd)
+            kk = k_ref[0].astype(qt.dtype)  # (hg, ckv, hd)
+            logits = jax.lax.dot_general(
+                qt, kk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (hg, rt, ckv)
+            if masked:
+                iq = ts + jax.lax.broadcasted_iota(jnp.int32, (1, rt, ckv), 1) % tq
+                kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, rt, ckv), 2) + c * ckv
+                logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+            logits2 = logits.reshape(hgg * tq, ckv)
+
+            m_prev = m_ref[ti]
+            m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits2 - m_new)
+            l_ref[ti] = l_ref[ti] * corr + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.reshape(hg, rt, ckv).astype(v_ref.dtype), v_ref[0],
+                (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+            ).reshape(hgg * tq, hd)
+            acc_ref[ti] = acc_ref[ti] * corr + pv
+            m_ref[ti] = m_new
+
+        @pl.when(tile_live & tile_vis)
+        def _():
+            _upd(masked=False)
+
+        @pl.when(tile_live & jnp.logical_not(tile_vis))
+        def _():
+            _upd(masked=True)
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(2) - 1))
+    def _():
+        for ti in range(n_tiles):
+            ts = ti * tq
+            out = acc_ref[ti] / jnp.maximum(l_ref[ti], 1e-30)
+            o_ref[0, :, :, ts : ts + tq, :] = out.reshape(
+                hg, groups, tq, hd
+            ).astype(o_ref.dtype)
+
+
+def _kernel_hg_v3_i8(
+    start_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, t, ckv, hg, groups, tq, scale,
+):
+    bi = pl.program_id(0)
+    c = pl.program_id(2)
+    start = start_ref[bi]
+    last = (start + t - 1) // ckv
+    hd = q_ref.shape[-1]
+    hgg = hg * groups
+    n_tiles = t // tq
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for ti in range(n_tiles):
+        ts = ti * tq
+        rt = groups * tq
+        tile_vis = (c + 1) * ckv - 1 <= start + ts
+        tile_live = (c * ckv <= start + ts + tq - 1) & (c <= last)
+
+        def _upd(masked: bool, ti=ti, ts=ts, rt=rt):
+            qt = q_ref[0, :, :, ts : ts + tq, :].reshape(hg, rt, hd)
+            kk = kq_ref[0].astype(qt.dtype)  # int8 codes exact in bf16
+            logits = jax.lax.dot_general(
+                qt, kk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * ks_ref[0].astype(jnp.float32) * scale
+            if masked:
+                iq = ts + jax.lax.broadcasted_iota(jnp.int32, (1, rt, ckv), 1) % tq
+                kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, rt, ckv), 2) + c * ckv
+                logits = jnp.where(kv_pos <= start + iq, logits, NEG_INF)
+            logits2 = logits.reshape(hgg * tq, ckv)
+
+            m_prev = m_ref[ti]
+            m_new = jnp.maximum(m_prev, jnp.max(logits2, axis=1, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits2 - m_new)
+            l_ref[ti] = l_ref[ti] * corr + jnp.sum(p, axis=1, keepdims=True)
+            ps = p.reshape(hg, rt, ckv) * vs_ref[0].astype(jnp.float32)
+            pv = jax.lax.dot_general(
+                ps.astype(qt.dtype), vq_ref[0].astype(qt.dtype),
+                (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+            ).reshape(hgg * tq, hd)
+            acc_ref[ti] = acc_ref[ti] * corr + pv
+            m_ref[ti] = m_new
+
+        @pl.when(tile_live & tile_vis)
+        def _():
+            _upd(masked=False)
+
+        @pl.when(tile_live & jnp.logical_not(tile_vis))
+        def _():
+            _upd(masked=True)
+
+    @pl.when(c == jnp.minimum(last, pl.num_programs(2) - 1))
+    def _():
+        for ti in range(n_tiles):
+            ts = ti * tq
+            out = acc_ref[ti] / jnp.maximum(l_ref[ti], 1e-30)
+            o_ref[0, :, :, ts : ts + tq, :] = out.reshape(
+                hg, groups, tq, hd
+            ).astype(o_ref.dtype)
+
+
+_V3_TQ = 128  # in-kernel q-tile rows (per head, pre-groups); measured best
+_V3_MAX_T = 2048  # v3 compiles chunk 2048 (the round-4 kernel could not)
+
+
+def _pick_v3_ckv(c_cap: int) -> int:
+    """Largest kv-chunk (multiple of 128, <= 1536) dividing the capacity.
+
+    The round-5 sweep (BENCHMARKS.md prefill v3 table) showed the kernel is
+    MXU-depth-bound, not DMA-bound: ckv is the PV dot's contraction depth
+    and the QK dot's output width, and growing it 256 -> 1408 cut busy time
+    2.1x.  Beyond ~1536 the single-buffer K/V block starts crowding VMEM
+    with no further dot-efficiency gain (8448-capacity sweep: 1408 beats
+    2816/4224/8448)."""
+    best = 0
+    for mult in range(1, 13):
+        ckv = 128 * mult
+        if c_cap % ckv == 0:
+            best = ckv
+    return best
+
+
+def _pick_hg_v3(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int, tq: int) -> int:
+    """v3 budget: per-branch logits intermediates are TILE-bounded.  The
+    dominant scoped-vmem term is the ~3 live (hg, groups*tq, ckv) f32
+    tensors per branch; 14.5 MB calibrated on-chip (flagship cap 8448:
+    (ckv=1408, tq=128, hg=4) bf16 estimates 13.7 MB and compiles —
+    measured fastest; (1408, 256, hg=4) estimates 22 MB and fails)."""
+    budget = int(14.5 * 1024 * 1024)
+    n_logits = 2 if kv_itemsize == 1 else 1
+    for hg in (8, 4, 2, 1):
+        if kvh % hg != 0:
+            continue
+        r = groups * t
+        est = (
+            2 * hg * r * hd * 2  # q + o, bf16, resident
+            + 2 * 2 * hg * ckv * hd * kv_itemsize  # K/V double-buffered
+            + hg * r * (hd + 2) * 4  # acc + m + l scratch, f32
+            + 3 * n_logits * hg * groups * tq * ckv * 4  # tile intermediates
+        )
+        if est <= budget:
+            return hg
+    return 0
+
+
+def _pick_v3_tile(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int):
+    """(tq, hg) for the v3 kernel: small tiles first (tq=128 measured best —
+    they keep the per-branch intermediates small, which buys a larger head
+    group and therefore fewer grid cells)."""
+    for tqq in (_V3_TQ, 256, 512):
+        tqq = min(tqq, -(-t // 128) * 128)
+        tp_pad = -(-t // tqq) * tqq
+        hg = _pick_hg_v3(kvh, groups, tp_pad, hd, ckv, kv_itemsize, tqq)
+        if hg > 0:
+            return tqq, hg
+    return 0, 0
+
+
+@functools.partial(jax.jit, static_argnames=("ckv", "tq", "hg_override"))
+def _chunk_prefill_pallas_hg_v3(q, k_cache, v_cache, start, ckv: int, tq: int = _V3_TQ, hg_override: int = 0):
+    b, h, t, hd = q.shape
+    kvh, c_cap = k_cache.shape[1], k_cache.shape[2]
+    groups = h // kvh
+    tq = min(tq, t)
+    hg = hg_override or _pick_hg_v3(kvh, groups, t, hd, ckv, 2, tq)
+    if hg == 0 or t % tq:
+        raise ValueError(f"v3 kernel needs t % tq == 0 and a VMEM-feasible hg (t={t}, tq={tq}, hg={hg})")
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _hg_v3_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, tq, int8=False)
+    kernel = functools.partial(
+        _kernel_hg_v3, t=t, ckv=ckv, hg=hg, groups=groups, tq=tq,
+        scale=1.0 / math.sqrt(hd),
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, k_cache, v_cache)
+    return out.reshape(b, h, t, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("ckv", "tq", "hg_override"))
+def _chunk_prefill_pallas_hg_v3_i8(q, kq, ks, vq, vs, start, ckv: int, tq: int = _V3_TQ, hg_override: int = 0):
+    b, h, t, hd = q.shape
+    kvh, c_cap = kq.shape[1], kq.shape[2]
+    groups = h // kvh
+    tq = min(tq, t)
+    hg = hg_override or _pick_hg_v3(kvh, groups, t, hd, ckv, 1, tq)
+    if hg == 0 or t % tq:
+        raise ValueError(f"v3-i8 kernel needs t % tq == 0 and a VMEM-feasible hg (t={t}, tq={tq}, hg={hg})")
+    q5 = q.reshape(b, kvh, groups, t, hd)
+    grid_spec = _hg_v3_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, tq, int8=True)
+    kernel = functools.partial(
+        _kernel_hg_v3_i8, t=t, ckv=ckv, hg=hg, groups=groups, tq=tq,
+        scale=1.0 / math.sqrt(hd),
+    )
+    start_vec = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(start_vec, q5, kq, ks, vq, vs)
+    return out.reshape(b, h, t, hd)
+
+
+def _hg_v3_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, tq, int8):
+    n_c = c_cap // ckv
+    n_tiles = t // tq
+
+    def q_map(bi, g, c, start):
+        return (bi, g, 0, 0, 0)
+
+    def kv_map(bi, g, c, start):
+        last = (start[bi] + t - 1) // ckv
+        return (bi, g, jnp.minimum(c, last), 0)
+
+    def scale_map(bi, g, c, start):
+        last = (start[bi] + t - 1) // ckv
+        return (bi, g, 0, jnp.minimum(c, last))
+
+    q_spec = pl.BlockSpec((1, hg, groups, t, hd), q_map, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, hg, ckv, hd), kv_map, memory_space=pltpu.VMEM)
+    if int8:
+        sc_spec = pl.BlockSpec((1, hg, 1, ckv), scale_map, memory_space=pltpu.VMEM)
+        in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec]
+    # per-TILE scratch slabs (leading static index in the kernel's unrolled
+    # q-tile loop — avoids lane/sublane shape casts on slices)
+    rows = hg * groups * tq
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kvh // hg, n_c),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((n_tiles, rows, 1), jnp.float32),
+            pltpu.VMEM((n_tiles, rows, 1), jnp.float32),
+            pltpu.VMEM((n_tiles, rows, hd), jnp.float32),
+        ],
+    )
+
+
 def _pick_hg(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int) -> int:
     """Largest kv-head group whose working set fits a ~7 MB VMEM budget.
 
@@ -506,7 +998,11 @@ def _pick_hg(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int)
         )
         if est <= budget:
             return hg
-    return 1
+    # Even hg=1 busts the budget (high-GQA configs: the resident q/o tile is
+    # groups*t rows regardless of hg).  Signal failure — the dispatchers
+    # route to the per-q-tile tiled kernel instead of compiling a kernel
+    # whose scoped-vmem stack exceeds the 16 MB cap (ADVICE r4).
+    return 0
 
 
 def _hg_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, int8):
@@ -549,6 +1045,11 @@ def _chunk_prefill_pallas_hg(q, k_cache, v_cache, start, ckv: int):
     kvh, c_cap = k_cache.shape[1], k_cache.shape[2]
     groups = h // kvh
     hg = _pick_hg(kvh, groups, t, hd, ckv, kv_itemsize=2)
+    if hg == 0:
+        raise ValueError(
+            f"hg kernel working set exceeds VMEM even at hg=1 "
+            f"(groups={groups}, t={t}) — use the tiled kernel (impl='pallas_tiled')"
+        )
     q5 = q.reshape(b, kvh, groups, t, hd)
     grid_spec = _hg_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, int8=False)
     kernel = functools.partial(
@@ -573,6 +1074,11 @@ def _chunk_prefill_pallas_hg_i8(q, kq, ks, vq, vs, start, ckv: int):
     kvh, c_cap = kq.shape[1], kq.shape[2]
     groups = h // kvh
     hg = _pick_hg(kvh, groups, t, hd, ckv, kv_itemsize=1)
+    if hg == 0:
+        raise ValueError(
+            f"hg-i8 kernel working set exceeds VMEM even at hg=1 "
+            f"(groups={groups}, t={t}) — use the tiled kernel (impl='pallas_tiled')"
+        )
     q5 = q.reshape(b, kvh, groups, t, hd)
     grid_spec = _hg_grid_spec(b, kvh, hg, groups, t, c_cap, hd, ckv, int8=True)
     kernel = functools.partial(
@@ -737,9 +1243,10 @@ def chunk_prefill_attention(
     on_tpu = jax.default_backend() == "tpu"
     cap_ok = c_cap % ckv == 0 and c_cap >= ckv
     use_pallas = cap_ok and (
-        impl in ("pallas", "pallas_tiled") or (impl == "auto" and on_tpu)
+        impl in ("pallas", "pallas_tiled", "pallas_v3")
+        or (impl == "auto" and on_tpu)
     )
-    if impl in ("pallas", "pallas_tiled") and not cap_ok:
+    if impl in ("pallas", "pallas_tiled", "pallas_v3") and not cap_ok:
         raise ValueError(
             f"chunk_prefill_attention pallas needs C % {ckv} == 0, got C={c_cap}"
         )
@@ -751,15 +1258,94 @@ def chunk_prefill_attention(
             qp, k_cache, v_cache, jnp.asarray(start), _SMALL_T, ckv
         )
         return out[:, :, :t]
-    if impl == "pallas_tiled" or t > _HG_MAX_T:
+    kvh = k_cache.shape[1]
+    if impl == "pallas_v3" or (impl == "auto" and _SMALL_T < t <= _V3_MAX_T):
+        # round-5 q-tile-loop kernel: tile-bounded intermediates let the
+        # kv-chunk grow to the MXU-efficient size and compile t=2048
+        ckv3 = _pick_v3_ckv(c_cap) or ckv
+        tqq, hg = _pick_v3_tile(kvh, q.shape[1] // kvh, t, q.shape[3], ckv3, 2)
+        if hg > 0:
+            qp, t = _pad_q(q, tqq)
+            out = _chunk_prefill_pallas_hg_v3(
+                qp, k_cache, v_cache, jnp.asarray(start), ckv3, tqq
+            )
+            return out[:, :, :t]
+        if impl == "pallas_v3":
+            raise ValueError(
+                f"v3 kernel working set exceeds VMEM (t={t}, groups={q.shape[1] // kvh})"
+            )
+    tp_pad = -(-t // tq) * tq
+    hg = _pick_hg(kvh, q.shape[1] // kvh, tp_pad, q.shape[3], ckv, kv_itemsize=2)
+    if impl == "pallas_tiled" or t > _HG_MAX_T or hg == 0:
         # round-3 per-q-tile kernel: kept for A/Bs, and the fallback for
-        # t > 1024 where the hg kernel's whole-chunk tile blows the 16 MB
-        # scoped-vmem stack (measured at t=2048 even with hg=1)
+        # t > 1024 — or any (groups, t) whose resident q/o tile busts the
+        # VMEM budget even at hg=1 — where the hg kernel's whole-chunk tile
+        # blows the 16 MB scoped-vmem stack (measured at t=2048)
         qp, t = _pad_q(q, tq)
         out = _chunk_prefill_pallas(qp, k_cache, v_cache, jnp.asarray(start), tq, ckv)
         return out[:, :, :t]
     qp, t = _pad_q(q, tq)
     out = _chunk_prefill_pallas_hg(qp, k_cache, v_cache, jnp.asarray(start), ckv)
+    return out[:, :, :t]
+
+
+def chunk_prefill_attention_tmajor(
+    q, k_t, v_t, start, *, ckv: int = 256, impl: str = "auto"
+):
+    """Small-T cached attention on a T-MAJOR bf16 cache (B, KVH, hd, C) —
+    the speculative k+1-token verify window on long-context engines.  T is
+    capped at ``_SMALL_T`` (prefill-sized chunks must run row-major; the
+    engine's admission path does)."""
+    t, c_cap = q.shape[2], k_t.shape[3]
+    if t > _SMALL_T:
+        raise NotImplementedError(
+            f"T-major cached attention supports verify windows up to "
+            f"{_SMALL_T} tokens, got t={t}; run prefill row-major"
+        )
+    on_tpu = jax.default_backend() == "tpu"
+    cap_ok = c_cap % ckv == 0 and c_cap >= ckv
+    use_pallas = cap_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if impl == "pallas" and not cap_ok:
+        raise ValueError(
+            f"chunk_prefill_attention_tmajor pallas needs C % {ckv} == 0, got C={c_cap}"
+        )
+    if not use_pallas:
+        return _xla_fallback(
+            q, k_t.transpose(0, 1, 3, 2), v_t.transpose(0, 1, 3, 2), start
+        )
+    qp, t = _pad_q(q, _SMALL_T)
+    out = _chunk_prefill_pallas_small_tmajor(qp, k_t, v_t, jnp.asarray(start), _SMALL_T, ckv)
+    return out[:, :, :t]
+
+
+def chunk_prefill_attention_tmajor_int8(
+    q, kq, ks, vq, vs, start, *, ckv: int = 256, impl: str = "auto"
+):
+    """int8 T-major variant: codes (B, KVH, hd, C), scales lane-major
+    (B, KVH, 1, C) — identical to the row-major int8 scales."""
+    t, c_cap = q.shape[2], kq.shape[3]
+    if t > _SMALL_T:
+        raise NotImplementedError(
+            f"T-major cached attention supports verify windows up to "
+            f"{_SMALL_T} tokens, got t={t}; run prefill row-major"
+        )
+    on_tpu = jax.default_backend() == "tpu"
+    cap_ok = c_cap % ckv == 0 and c_cap >= ckv
+    use_pallas = cap_ok and (impl == "pallas" or (impl == "auto" and on_tpu))
+    if impl == "pallas" and not cap_ok:
+        raise ValueError(
+            f"chunk_prefill_attention_tmajor_int8 pallas needs C % {ckv} == 0, got C={c_cap}"
+        )
+    if not use_pallas:
+        ks_t = ks.transpose(0, 1, 3, 2).astype(jnp.float32)
+        vs_t = vs.transpose(0, 1, 3, 2).astype(jnp.float32)
+        k = (kq.transpose(0, 1, 3, 2).astype(jnp.float32) * ks_t).astype(q.dtype)
+        v = (vq.transpose(0, 1, 3, 2).astype(jnp.float32) * vs_t).astype(q.dtype)
+        return _xla_fallback(q, k, v, start)
+    qp, t = _pad_q(q, _SMALL_T)
+    out = _chunk_prefill_pallas_small_tmajor_i8(
+        qp, kq, ks, vq, vs, jnp.asarray(start), _SMALL_T, ckv
+    )
     return out[:, :, :t]
 
 
@@ -772,9 +1358,10 @@ def chunk_prefill_attention_int8(
     on_tpu = jax.default_backend() == "tpu"
     cap_ok = c_cap % ckv == 0 and c_cap >= ckv
     use_pallas = cap_ok and (
-        impl in ("pallas", "pallas_tiled") or (impl == "auto" and on_tpu)
+        impl in ("pallas", "pallas_tiled", "pallas_v3")
+        or (impl == "auto" and on_tpu)
     )
-    if impl in ("pallas", "pallas_tiled") and not cap_ok:
+    if impl in ("pallas", "pallas_tiled", "pallas_v3") and not cap_ok:
         raise ValueError(
             f"chunk_prefill_attention_int8 pallas needs C % {ckv} == 0, got C={c_cap}"
         )
@@ -790,7 +1377,23 @@ def chunk_prefill_attention_int8(
             qp, kq, ks, vq, vs, jnp.asarray(start), _SMALL_T, ckv
         )
         return out[:, :, :t]
-    if impl == "pallas_tiled" or t > _HG_MAX_T:
+    kvh = kq.shape[1]
+    if impl == "pallas_v3" or (impl == "auto" and _SMALL_T < t <= _V3_MAX_T):
+        ckv3 = _pick_v3_ckv(c_cap) or ckv
+        tqq, hg = _pick_v3_tile(kvh, q.shape[1] // kvh, t, q.shape[3], ckv3, 1)
+        if hg > 0:
+            qp, t = _pad_q(q, tqq)
+            out = _chunk_prefill_pallas_hg_v3_i8(
+                qp, kq, ks, vq, vs, jnp.asarray(start), ckv3, tqq
+            )
+            return out[:, :, :t]
+        if impl == "pallas_v3":
+            raise ValueError(
+                f"v3-i8 kernel working set exceeds VMEM (t={t}, groups={q.shape[1] // kvh})"
+            )
+    tp_pad = -(-t // tq) * tq
+    hg = _pick_hg(kvh, q.shape[1] // kvh, tp_pad, q.shape[3], ckv, kv_itemsize=1)
+    if impl == "pallas_tiled" or t > _HG_MAX_T or hg == 0:
         qp, t = _pad_q(q, tq)
         out = _chunk_prefill_pallas_i8(qp, kq, ks, vq, vs, jnp.asarray(start), tq, ckv)
         return out[:, :, :t]

@@ -67,17 +67,33 @@ def test_tmajor_engine_default_auto(setup):
     params, specs = setup
     eng = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(8,))
     assert eng.cache_layout == "tmajor"
-    assert eng.spec_k == 0  # auto-spec yields to the tmajor layout
+    # round-5: T-major engines KEEP adaptive speculation (verify windows run
+    # on the T-major small-chunk kernel)
+    assert eng.spec_k == 4
     assert eng.cache[0][0].shape[2] == CFG.head_dim
     eng = Engine(params, CFG, specs, max_batch=1, max_len=256, buckets=(8,))
     assert eng.cache_layout == "rowmajor"
 
 
-def test_tmajor_explicit_spec_raises(setup):
+@pytest.mark.parametrize("cache_dtype", ["bf16", "int8"])
+def test_tmajor_spec_lossless(setup, cache_dtype):
+    """Speculation on a T-major engine is lossless-greedy: same tokens as a
+    plain row-major engine (round-4 VERDICT weak #4)."""
     params, specs = setup
-    with pytest.raises(ValueError, match="tmajor"):
-        Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(8,),
-               speculative=4)
+    ids = _prompt(12, 5)
+    emb = phi.embed_tokens(params, ids)
+
+    ref = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(8, 32),
+                 cache_dtype=cache_dtype, cache_layout="rowmajor", speculative=0)
+    ref.add_request(emb, max_new_tokens=24)
+    ref_tokens = ref.run()[0].tokens
+
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=2048, buckets=(8, 32),
+                 cache_dtype=cache_dtype, cache_layout="tmajor", speculative=4)
+    eng.add_request(emb, max_new_tokens=24, prompt_ids=np.asarray(ids))
+    done = eng.run()
+    assert done[0].tokens == ref_tokens
+    assert eng.stats["spec_verify_steps"] > 0  # speculation actually ran
 
 
 def test_tmajor_prefix_suffix(setup):
