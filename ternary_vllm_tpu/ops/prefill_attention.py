@@ -57,7 +57,10 @@ def prefill_attention(q, k, v, impl: str = "auto"):
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    blk = min(tp, 256)
+    # the kernel needs tp % block == 0: 256 only when it divides the padded
+    # length (e.g. the VLM's 1+729+T splice pads to 128-odd multiples like
+    # 896, which 256 does not divide — found by the round-5 VLM train bench)
+    blk = 256 if tp % 256 == 0 else 128
     sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk, block_q_dkv=blk,
