@@ -151,14 +151,31 @@ def measure(k, sabotage, attempts=4, timeout=560):
     raise RuntimeError(f"failed: k={k} sabotage={sabotage}")
 
 
+def median3(k, sabotage):
+    """Median of 3 subprocess runs + spread (round-4 VERDICT weak #5: the
+    adaptive-spec claims rode single runs inside a ±10-20% transport band;
+    bench.py's discipline applied here)."""
+    recs = sorted((measure(k, sabotage) for _ in range(3)), key=lambda r: r["tps"])
+    med = dict(recs[1])
+    med["runs"] = [r["tps"] for r in recs]
+    med["spread_pct"] = round(
+        100.0 * (recs[-1]["tps"] - recs[0]["tps"]) / max(med["tps"], 1e-9), 1
+    )
+    return med
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), bool(int(sys.argv[3])))
         return
-    print(json.dumps(measure(0, False)), flush=True)
-    for k in (4, 8):
-        print(json.dumps(measure(k, False)), flush=True)   # cyclic best case
-        print(json.dumps(measure(k, True)), flush=True)    # always-miss
+    # the headline rows (plain, k=4 best/worst) get median-of-3 + spread;
+    # k=8 is a single-run reference (k=4 dominates it in every round)
+    print(json.dumps(median3(0, False)), flush=True)
+    print(json.dumps(median3(4, False)), flush=True)   # cyclic best case
+    print(json.dumps(median3(4, True)), flush=True)    # always-miss
+    for k in (8,):
+        print(json.dumps(measure(k, False)), flush=True)
+        print(json.dumps(measure(k, True)), flush=True)
 
 
 if __name__ == "__main__":
