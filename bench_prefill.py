@@ -100,7 +100,7 @@ def prefill_flops(cfg, t: int) -> float:
         cfg.vocab_size,
     )
     linears = 2.0 * (4 * d * d + 2 * d * f) * L * t
-    head = 2.0 * d * V * min(t, 1024)  # head runs per admitted chunk's logits
+    head = 2.0 * d * V * 1024  # head runs on the FINAL admitted chunk only
     attn = 2.0 * d * t * t * L  # QK + PV, causal-halved
     return linears + head + attn
 
@@ -140,6 +140,7 @@ def worker(path: str, prompt_len: int, max_len: int, chunk: int = 1024) -> None:
         t0 = time.perf_counter()
         eng.add_request(prompt_ids=ids, max_new_tokens=4)
         eng._admit()
+        eng.drain_admission()  # staged admission: run all chunks now
         np.asarray(eng.tokens)  # real fetch (transport can report early)
         return time.perf_counter() - t0
 
@@ -148,7 +149,7 @@ def worker(path: str, prompt_len: int, max_len: int, chunk: int = 1024) -> None:
     prefill_s = min(run() for _ in range(3))
     fl = prefill_flops(cfg, prompt_len)
     print(json.dumps({
-        "path": path, "prompt_len": prompt_len,
+        "path": path, "prompt_len": prompt_len, "chunk": chunk,
         "prefill_s": round(prefill_s, 3),
         "mfu_pct": round(100.0 * fl / prefill_s / PEAK_BF16, 1),
     }), flush=True)
@@ -179,6 +180,7 @@ def trace_worker(path: str, prompt_len: int, max_len: int) -> None:
         t0 = time.perf_counter()
         eng.add_request(prompt_ids=ids, max_new_tokens=4)
         eng._admit()
+        eng.drain_admission()
         np.asarray(eng.tokens)
         return time.perf_counter() - t0
 
@@ -191,12 +193,12 @@ def trace_worker(path: str, prompt_len: int, max_len: int) -> None:
     print(summarize(logdir, top_n=30), flush=True)
 
 
-def measure(path, prompt_len, max_len, attempts=4, timeout=560):
+def measure(path, prompt_len, max_len, chunk=1024, attempts=4, timeout=560):
     for i in range(attempts):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker", path,
-                 str(prompt_len), str(max_len)],
+                 str(prompt_len), str(max_len), str(chunk)],
                 capture_output=True, text=True, timeout=timeout,
             )
             for line in reversed(proc.stdout.strip().splitlines()):
@@ -223,6 +225,12 @@ def main():
     for prompt_len, max_len in CONFIGS:
         for path in ("packed", "dense"):
             print(json.dumps(measure(path, prompt_len, max_len)), flush=True)
+    # admission-chunk A/B (round-5 v3 kernel enables 2048-chunks)
+    for chunk in (2048,):
+        for prompt_len, max_len in CONFIGS:
+            rec = measure("packed", prompt_len, max_len, chunk=chunk)
+            rec["chunk"] = chunk
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
