@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -121,6 +122,14 @@ QUANT_LINEARS = ("wqkv", "out_proj", "fc1", "fc2")
 #: attention into ONE Pallas dispatch per layer (ops/fused_decode_attention);
 #: False falls back to rope -> dynamic_update_slice -> decode_attention.
 USE_FUSED_DECODE_ATTENTION = True
+
+#: decode path (t==1, batch 1, bf16 row-major cache, fused out2): merge the
+#: attention dispatch into the dual out2 kernel's grid — TWO Pallas
+#: dispatches per decode layer instead of three (ops/attn_out2_fused;
+#: DESIGN.md §6 round-5 7B batch-1 study).  Off-TPU / unsupported shapes
+#: fall back to the composed pair inside attn_dual_decode itself.
+#: Env override TVT_ATTN_OUT2_FUSION=0 for A/B measurement.
+USE_ATTN_OUT2_FUSION = os.environ.get("TVT_ATTN_OUT2_FUSION", "1") == "1"
 
 
 def freeze_specs(specs):
@@ -483,6 +492,30 @@ def _decoder_layer(
         cs = jnp.broadcast_to(cos.reshape(-1, rd), (b, rd))
         sn = jnp.broadcast_to(sin.reshape(-1, rd), (b, rd))
         tmajor = cache_layout(kv, config) == "tmajor"
+        if (
+            fused
+            and USE_ATTN_OUT2_FUSION
+            and len(kv) == 2
+            and not tmajor
+            and b == 1
+            and spec["out2"].a8
+        ):
+            # single-dispatch layer tail: attention inside the dual out2
+            # kernel's prologue (ops/attn_out2_fused; falls back to the
+            # composed pair off-TPU / for unsupported shapes)
+            from ternary_vllm_tpu.ops.attn_out2_fused import attn_dual_decode
+
+            o2 = p["out2"]
+            o2_mode = spec["out2"].mode
+            rows1 = spec["out2"].rows1 or d // (4 if o2_mode == "ternary" else 8)
+            combined, ck, cv = attn_dual_decode(
+                q[:, :, 0], k[:, :, 0], v[:, :, 0], cs, sn, kv[0], kv[1], pos,
+                mlp_hidden.reshape(b, -1), o2["packed"], rows1,
+                o2["scale1"], o2["b1"], o2["scale2"], o2["b2"],
+                x.reshape(b, d),
+                rotary_dim=rd, clip_val=spec["out2"].clip_val, mode=o2_mode,
+            )
+            return combined.reshape(b, t, d), (ck, cv)
         if len(kv) == 4:
             from ternary_vllm_tpu.ops.fused_decode_attention import (
                 fused_decode_attention_int8,

@@ -186,7 +186,7 @@ def pack_decoder_params(params, specs, k_multiple: int = 512, fmt: str = "q2", a
         new_specs.append(new_spec)
     out = dict(params)
     out["layers"] = new_layers
-    return out, tuple(new_specs)
+    return cast_serving_constants(out), tuple(new_specs)
 
 
 def fuse_packed_decoder_params(params, specs):
@@ -255,7 +255,7 @@ def fuse_packed_decoder_params(params, specs):
         new_specs.append({"in_proj": fused_spec, "out2": out2_spec})
     out = dict(params)
     out["layers"] = new_layers
-    return out, tuple(new_specs)
+    return cast_serving_constants(out), tuple(new_specs)
 
 
 def _unpack_w(packed, spec: LinearSpec, k: int, dtype):
@@ -302,6 +302,53 @@ def _out2_rows1(s_o2: LinearSpec, o2_packed, d: int, f: int) -> int:
             "record the split point."
         )
     return rows1
+
+
+_F32_CONST_KEYS = ("scale", "scale1", "scale2", "b", "b1", "b2")
+
+
+def _cast_ln_f32(ln):
+    return {k: v.astype(jnp.float32) for k, v in ln.items()}
+
+
+def cast_serving_constants(params):
+    """Pre-cast per-channel scale/bias/LN constants of quantized Linears to f32.
+
+    Every quantized-matmul wrapper casts these operands to f32 per call
+    (e.g. ``bias.reshape(1, n).astype(f32)`` in ``ops.ternary_matmul``), and
+    XLA does NOT hoist the converts out of a jitted decode ``while_loop``:
+    the 7B in-loop trace shows 163 ``convert`` ops costing ~64 us/step
+    (DESIGN.md §6 round-5).  Casting once at load time makes those converts
+    no-ops with bit-identical numerics — bf16→f32 is exact and every consumer
+    (Pallas kernels, XLA fallbacks, ``phi._layer_norm``) already computes
+    these terms in f32.  Only applied to quantized param dicts (``packed`` /
+    ``w_q``) and LN dicts; dense ``{"w", "b"}`` Linears keep their dtype (the
+    dense branch adds ``b`` in the activation dtype).
+    """
+    def cast_linear(p):
+        if not isinstance(p, dict) or not ("packed" in p or "w_q" in p):
+            return p
+        return {
+            k: (v.astype(jnp.float32) if k in _F32_CONST_KEYS else v)
+            for k, v in p.items()
+        }
+
+    out = dict(params)
+    out["layers"] = [
+        {
+            name: (_cast_ln_f32(sub) if name == "ln" else cast_linear(sub))
+            for name, sub in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    if isinstance(params.get("lm_head"), dict):
+        head = dict(params["lm_head"])
+        if isinstance(head.get("ln"), dict):
+            head["ln"] = _cast_ln_f32(head["ln"])
+        if isinstance(head.get("linear"), dict):
+            head["linear"] = cast_linear(head["linear"])
+        out["lm_head"] = head
+    return out
 
 
 def unfuse_packed_decoder_params(params, specs, config: Optional[PhiConfig] = None):
