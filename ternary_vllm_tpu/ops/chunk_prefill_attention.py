@@ -849,10 +849,15 @@ def _pick_v3_ckv(c_cap: int) -> int:
 def _pick_hg_v3(kvh: int, groups: int, t: int, hd: int, ckv: int, kv_itemsize: int, tq: int) -> int:
     """v3 budget: per-branch logits intermediates are TILE-bounded.  The
     dominant scoped-vmem term is the ~3 live (hg, groups*tq, ckv) f32
-    tensors per branch; 14.5 MB calibrated on-chip (flagship cap 8448:
-    (ckv=1408, tq=128, hg=4) bf16 estimates 13.7 MB and compiles —
-    measured fastest; (1408, 256, hg=4) estimates 22 MB and fails)."""
-    budget = int(14.5 * 1024 * 1024)
+    tensors per branch; 13.75 MB calibrated on-chip against anchors that
+    pin it from BOTH sides (round 5): flagship cap 8448 (ckv=1408, tq=128,
+    t=1024, hg=4) bf16 estimates 13.03 MB, compiles, and measured fastest,
+    and the high-GQA i8 case (groups=4, ckv=1024, t=640, hg=1) estimates
+    13.52 MB and must stay feasible — both under budget; cap 16640
+    (ckv=1280, tq=128, t=2048, hg=4) estimates 14.06 MB but actually needs
+    17 MB of scoped vmem (the 16k-serving cliff found by bench_long) — must
+    exceed budget so hg drops to 2, which compiles."""
+    budget = int(13.75 * 1024 * 1024)
     n_logits = 2 if kv_itemsize == 1 else 1
     for hg in (8, 4, 2, 1):
         if kvh % hg != 0:

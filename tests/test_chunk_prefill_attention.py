@@ -297,3 +297,14 @@ class TestV3QTileLoop:
         out = chunk_prefill_attention(q, k, v, start, impl="pallas_v3")
         ref = _xla_fallback(q, k, v, start)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_v3_budget_anchors(self):
+        """The hg budget is pinned by on-chip anchors (round 5): the
+        measured-fastest 8448 config keeps hg=4, the high-GQA i8 case stays
+        feasible, and the 16k-serving config that needs 17 MB of scoped
+        vmem (bench_long cliff) is demoted to hg=2."""
+        from ternary_vllm_tpu.ops.chunk_prefill_attention import _pick_v3_tile
+
+        assert _pick_v3_tile(32, 1, 1024, 64, 1408, 2) == (128, 4)
+        assert _pick_v3_tile(32, 1, 2048, 64, 1280, 2)[1] <= 2  # 16k, bf16
+        assert _pick_v3_tile(1, 4, 640, 64, 1024, 1)[1] >= 1    # GQA i8
