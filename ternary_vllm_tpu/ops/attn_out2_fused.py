@@ -484,8 +484,12 @@ def attn_dual_decode(
         # the merged kernel's skeleton (~17 operand streams x n_kt cells of
         # scalar bookkeeping) only amortizes under a heavy weight stream:
         # measured round 5, 7B out2 (21 MB/layer) +1.5% end-to-end, flagship
-        # out2 (5.2 MB/layer) -2% — gate on the packed block size
+        # out2 (5.2 MB/layer) -2% — gate on the packed block size, and cap
+        # the cell count (large capacities force bs down to cover every KV
+        # chunk, e.g. 7B at cap 8448 would need 40 k-cells — the ablation
+        # showed ~0.2 us/cell of bookkeeping, which would eat the win)
         and s_tot * n >= 8 * 1024 * 1024
+        and bs is not None and (s_tot // bs) <= 16
         and bs is not None
         and bn is not None
         and vmem_est < 13 * 1024 * 1024
