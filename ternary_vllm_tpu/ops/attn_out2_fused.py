@@ -18,23 +18,32 @@ Design notes (what Mosaic allows shaped this):
 
 * The dual matmul's activation row for the attn half cannot exist as a
   ``(1, d)`` lane vector — Mosaic cannot shape-cast the attention output's
-  ``(h, hd)`` sublanes into lanes.  The attn half therefore stays 2-D in an
-  int8 scratch, the wrapper forces ``bs == s1`` so the whole out_proj
-  contraction is ONE k-step with static head-row offsets, and that step
-  contracts with per-head-row ``(1, hd) x (hd, bn)`` MXU dots.
+  ``(h, hd)`` sublanes into lanes, and sublane loads must be 8-aligned.
+  The attn half therefore stays 2-D in an f32 scratch (int8-valued; int8
+  vectors cannot take unit-dim inserts either), the wrapper splits the
+  out_proj contraction into ``n_a = s1/bs`` TAIL k-cells whose head-row
+  offsets are all static, and each sub-step contracts with head-row-batched
+  ``(rows, 1, hd) x (rows, hd, bn)`` MXU dots.
 * Manual ``make_async_copy`` chunk streaming breaks on the lane-PADDED
   row-major cache layout at ``hd=64`` (memref slices must be 128-aligned on
   the last dim), so KV chunks ride the AUTOMATIC BlockSpec pipeline instead:
   attention is processed incrementally, one clamped KV chunk per grid cell
   along the k dimension of the ``j == 0`` row (online-softmax state in
-  scratch), exactly like the standalone kernel's chunk grid.  The A-matmul
-  step runs in the LAST k cell (after attention finalizes + quantizes); B
-  steps run in the early cells with their weight-block index map shifted by
-  one.
+  scratch), exactly like the standalone kernel's chunk grid.  The wrapper
+  picks ``bs`` so ``n_kt >= cap/chunk`` (every chunk gets a cell, no idle
+  matmul cells); B (fc2) steps ride the early cells with their weight-block
+  index map shifted by ``n_a``, attention finalizes + quantizes in cell
+  ``n_k - n_a``, and the A sub-steps close the accumulation.
 * RoPE is applied in-cell-0; the new token's K/V enters the softmax from
   registers at chunk ``last``; the 8-row aligned cache window around slot
   ``pos`` is flushed once through input/output-aliased block outputs (index
   map constant over the grid), all identical to the standalone kernel.
+* The decisive perf lever was none of the above: an ablation sweep (see
+  ``examples/ablate_attn_dual.py`` and DESIGN.md §6 round-5) pinned the
+  kernel's overhead on per-cell scalar BOOKKEEPING for its ~17 operand
+  streams — ``bn`` is therefore the largest VMEM-fitting divisor of N
+  (fewest grid cells), which took the kernel from 50 to 34.9 us/layer at
+  7B shapes vs 37.0 for the composed pair.
 
 Numerics match the composed pair bit-for-bit (same f32 op sequence; the
 attention output round-trips through bf16 at the old kernel boundary before
