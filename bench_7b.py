@@ -19,6 +19,8 @@ def log(*a):
 
 
 def build(cache_dtype="bf16"):
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
@@ -32,9 +34,16 @@ def build(cache_dtype="bf16"):
         quantize_linear_int8,
     )
 
+    # TVT_DIMS="hidden,ffn,layers[,heads]" overrides the 7B-class default —
+    # e.g. "5120,13824,40" builds a 13B-class decoder (packed ternary
+    # ~2.5 GB; the bf16 model at ~26 GB would not fit one v5e chip)
+    dims = os.environ.get("TVT_DIMS", "4096,16384,32")
+    parts = [int(x) for x in dims.split(",")]
+    d_, f_, l_ = parts[:3]
+    h_ = parts[3] if len(parts) > 3 else d_ // 128
     cfg = phi.PhiConfig(
-        vocab_size=51200, hidden_size=4096, intermediate_size=16384,
-        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+        vocab_size=51200, hidden_size=d_, intermediate_size=f_,
+        num_hidden_layers=l_, num_attention_heads=h_, num_key_value_heads=h_,
         max_position_embeddings=4096,
     )
     d, f = cfg.hidden_size, cfg.intermediate_size

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -498,7 +499,7 @@ def attn_dual_decode(
         # chunk, e.g. 7B at cap 8448 would need 40 k-cells — the ablation
         # showed ~0.2 us/cell of bookkeeping, which would eat the win)
         and s_tot * n >= 8 * 1024 * 1024
-        and bs is not None and (s_tot // bs) <= 16
+        and bs is not None and (s_tot // bs) <= int(os.environ.get('TVT_MERGE_MAX_CELLS', '16'))
         and bs is not None
         and bn is not None
         and vmem_est < 13 * 1024 * 1024
