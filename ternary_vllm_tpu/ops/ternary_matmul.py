@@ -179,17 +179,38 @@ def _pick_w2a8_blocks(
     while bm > 16 and bm * kp * (2 * x_itemsize + 1) > budget // 2:
         bm //= 2
     x_bytes = bm * kp * (2 * x_itemsize + 1)
-    for cand_n in (n, 4096, 2048, 1024, 512, 256, 128):
-        if cand_n > n or n % cand_n:
-            continue
-        out_bytes = bm * cand_n * (2 * 2 + 4 * n_acc)  # bf16 out x2 + i32 acc
-        for cand_s in (1024, 512, 256, 128):
-            if s % cand_s:
+
+    def pick(candidates):
+        for cand_n in candidates:
+            if cand_n > n or n % cand_n:
                 continue
-            # 5x the packed block: 2 DMA buffers + Mosaic stack temporaries
-            # for the unpack (w32 / shifted / i8-codes planes), each ~bs*bn
-            if x_bytes + out_bytes + 5 * cand_s * cand_n <= budget:
-                return bm, cand_s, cand_n
+            out_bytes = bm * cand_n * (2 * 2 + 4 * n_acc)  # bf16 out x2 + i32 acc
+            for cand_s in (1024, 512, 256, 128):
+                if s % cand_s:
+                    continue
+                # 5x the packed block: 2 DMA buffers + Mosaic stack
+                # temporaries for the unpack (w32 / shifted / i8 planes)
+                if x_bytes + out_bytes + 5 * cand_s * cand_n <= budget:
+                    return bm, cand_s, cand_n
+        return None
+
+    got = pick((n, 4096, 2048, 1024, 512, 256, 128))
+    if got is not None and got[2] < 2048:
+        # narrow blocks = narrow strided DMA segments over a wide row-major
+        # weight array.  Round-5 13B study: n=35840 has no power-of-two
+        # divisor above 1024, and (256, 1024) blocks streamed in_proj at
+        # 512 GB/s vs ~745 at wider blocks — retry with the array's actual
+        # divisors before accepting a degraded width.  Shapes the hardcoded
+        # list already serves well (flagship 14336, 7B 28672) are unchanged.
+        wide = sorted(
+            (c for c in range(2048, min(n, 8192) + 1, 128) if n % c == 0),
+            reverse=True,
+        )
+        better = pick(tuple(wide))
+        if better is not None:
+            got = better
+    if got is not None:
+        return got
     return bm, _pick_block(s, (512, 256, 128)), 128
 
 
